@@ -1,0 +1,58 @@
+"""Scene construction: waypoint courses and ground-truth landmark maps.
+
+Host-side (NumPy) — runs once at setup, never inside the device loop.
+Behavioral spec: reference sim/sim-utils.jl:1-6 (make_landmarks) and
+sim/ekfslam-sim.jl:17-45 (ekfsim_setup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpuslam.config import SceneConfig, COURSE1_PATH
+from tpuslam.core.geometry import read_waypoints
+
+
+def make_landmarks(cfg: SceneConfig, seed: int = 0) -> np.ndarray:
+    """Random ground-truth landmark positions, (n_landmarks, 2).
+
+    The reference (sim/sim-utils.jl:1-6) samples every coordinate iid from
+    the *concatenated unit-stride ranges* [xmin+bx : xmax-bx ; ymin+by :
+    ymax-by] — i.e. landmark coordinates are integers drawn from the union of
+    the (margin-inset) x- and y-ranges.  `legacy_integer_landmarks=True`
+    reproduces that; False gives continuous uniforms inside the same margins.
+    """
+    rng = np.random.default_rng(seed)
+    bx = cfg.landmark_margin * (cfg.xmax - cfg.xmin)
+    by = cfg.landmark_margin * (cfg.ymax - cfg.ymin)
+    if cfg.legacy_integer_landmarks:
+        pool = np.concatenate(
+            [
+                np.arange(np.ceil(cfg.xmin + bx), np.floor(cfg.xmax - bx) + 1),
+                np.arange(np.ceil(cfg.ymin + by), np.floor(cfg.ymax - by) + 1),
+            ]
+        ).astype(np.float64)
+        return rng.choice(pool, size=(cfg.n_landmarks, 2))
+    x = rng.uniform(cfg.xmin + bx, cfg.xmax - bx, size=cfg.n_landmarks)
+    y = rng.uniform(cfg.ymin + by, cfg.ymax - by, size=cfg.n_landmarks)
+    return np.stack([x, y], axis=-1)
+
+
+def load_course(path: str = COURSE1_PATH) -> np.ndarray:
+    """(N, 2) waypoint array from a 2-column headered text file."""
+    return read_waypoints(path)
+
+
+def make_grid_course(
+    extent: float, n_per_side: int = 5, inset: float = 0.15
+) -> np.ndarray:
+    """Synthetic boustrophedon (lawnmower) course over a square scene —
+    used by the large-scale benchmark configs, which need bigger scenes than
+    course1's 100x100 m."""
+    lo, hi = inset * extent, (1.0 - inset) * extent
+    ys = np.linspace(lo, hi, n_per_side)
+    pts = []
+    for i, y in enumerate(ys):
+        xs = [lo, hi] if i % 2 == 0 else [hi, lo]
+        pts += [[x, y] for x in xs]
+    return np.asarray(pts, dtype=np.float64)

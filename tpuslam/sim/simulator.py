@@ -1,0 +1,201 @@
+"""Closed-loop EKF-SLAM simulation as a jitted `lax.scan`.
+
+Behavioral spec: reference sim/ekfslam-sim.jl:49-143 (sim!).  The reference
+runs a mutable Python-style while-loop at 40 Hz with a real-time throttle;
+here the whole closed loop is one compiled program:
+
+  * one *epoch* = `substeps_per_obs` control ticks (steer -> lap-restart ->
+    vehicle step -> control noise -> EKF predict) with the EKF measurement
+    update (observe -> associate -> update -> augment) fused into the final
+    tick, exactly where the reference's `dtsum > dt_obs` check fires
+    (ekfslam-sim.jl:105-123; the cadence is every NINTH tick — see
+    tpuslam/config.py:SimConfig.substeps_per_obs for the Float64 quirk);
+  * a full run = `lax.scan` over epochs; termination (waypoint course done,
+    ekfslam-sim.jl:80) becomes an `active` mask — finished epochs are
+    masked no-ops, keeping shapes static;
+  * noise enters either as pregenerated arrays (oracle-parity mode: the
+    NumPy oracle consumes the identical stream) or is drawn on-device from a
+    threaded PRNG key (production/bench mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpuslam.assoc.nn import associate
+from tpuslam.config import SimConfig
+from tpuslam.core.geometry import initial_pose
+from tpuslam.core.motion import steer, step_vehicle
+from tpuslam.filters.ekf import add_features, predict, update
+from tpuslam.filters.state import EKFState, make_ekf_state
+from tpuslam.sim.sensors import add_control_noise, get_observations
+from tpuslam.utils.tree import tree_select
+
+
+class VehicleState(NamedTuple):
+    """True vehicle state (ref src/common.jl:36-57, time-varying part)."""
+
+    pose: jnp.ndarray        # (3,) true pose
+    gamma: jnp.ndarray       # () target steering angle
+    waypoint_id: jnp.ndarray  # () int32, 0-based; -1 = course finished
+    nlaps: jnp.ndarray       # () int32 remaining laps
+
+
+class SimState(NamedTuple):
+    vehicle: VehicleState
+    ekf: EKFState
+
+
+class TickRecord(NamedTuple):
+    """Per-tick telemetry (ref: track recording, ekfslam-sim.jl:126-128)."""
+
+    true_pose: jnp.ndarray   # (3,)
+    slam_pose: jnp.ndarray   # (3,)
+    active: jnp.ndarray      # () bool — tick actually executed
+
+
+def init_sim_state(cfg: SimConfig, waypoints, dtype=jnp.float32) -> SimState:
+    """Ref ekfsim_setup (sim/ekfslam-sim.jl:17-45): vehicle at the first
+    waypoint heading for the second; EKF at the true pose, zero covariance."""
+    pose = initial_pose(jnp.asarray(waypoints, dtype))
+    vehicle = VehicleState(
+        pose=pose,
+        gamma=jnp.zeros((), dtype),
+        waypoint_id=jnp.zeros((), jnp.int32),
+        nlaps=jnp.asarray(cfg.nlaps, jnp.int32),
+    )
+    return SimState(vehicle=vehicle, ekf=make_ekf_state(pose, cfg.capacity, dtype))
+
+
+def control_tick(cfg: SimConfig, waypoints, st: SimState, ctrl_noise):
+    """One 40 Hz control step (ref ekfslam-sim.jl:85-103).
+
+    Order: steer -> lap restart -> vehicle motion (target controls) ->
+    control noise -> EKF predict (measured controls).  A finished vehicle
+    (waypoint_id == -1 at tick start) is a masked no-op.
+    """
+    veh, ekf = st.vehicle, st.ekf
+    active = veh.waypoint_id != -1
+
+    gamma, iwp = steer(
+        veh.pose, veh.gamma, veh.waypoint_id, waypoints,
+        cfg.d_min, cfg.dt, cfg.vehicle.steer_rate, cfg.vehicle.max_gamma,
+    )
+
+    # Lap restart (ref ekfslam-sim.jl:88-92).
+    restart = (iwp == -1) & (veh.nlaps > 1)
+    iwp = jnp.where(restart, 0, iwp)
+    nlaps = jnp.where(restart, veh.nlaps - 1, veh.nlaps)
+
+    pose = step_vehicle(
+        veh.pose, cfg.vehicle.target_speed, gamma, cfg.vehicle.wheelbase, cfg.dt
+    )
+    v_m, g_m = add_control_noise(cfg.vehicle.target_speed, gamma, ctrl_noise)
+    Q = jnp.diag(jnp.asarray(cfg.noise.Q, ekf.x.dtype))
+    ekf = predict(ekf, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt)
+
+    new = SimState(VehicleState(pose, gamma, iwp, nlaps), ekf)
+    out = tree_select(active, new, st)
+    rec = TickRecord(
+        true_pose=out.vehicle.pose, slam_pose=out.ekf.x[:3], active=active
+    )
+    return out, rec
+
+
+def observation_step(cfg: SimConfig, landmarks, st: SimState, obs_noise, active):
+    """EKF measurement step (ref ekfslam-sim.jl:105-123): observe the true
+    pose, associate, batched update, augment with new features."""
+    R = jnp.diag(jnp.asarray(cfg.noise.R, st.ekf.x.dtype))
+    z, z_mask, _ = get_observations(
+        st.vehicle.pose, landmarks, cfg.vehicle.sensor_range,
+        obs_noise, cfg.max_obs,
+    )
+    idf, matched, new = associate(
+        st.ekf, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat
+    )
+    ekf = update(st.ekf, z, matched, idf, R)
+    ekf = add_features(ekf, z, new, R)
+    return tree_select(active, SimState(st.vehicle, ekf), st)
+
+
+def epoch(cfg: SimConfig, waypoints, landmarks, st: SimState, noises):
+    """`substeps_per_obs` control ticks with the measurement update fused
+    into the last one (where the reference's dtsum check fires)."""
+    ctrl_noise, obs_noise = noises  # (substeps, 2), (n_landmarks, 2)
+    n_sub = cfg.substeps_per_obs
+
+    st, recs = lax.scan(
+        lambda s, nz: control_tick(cfg, waypoints, s, nz),
+        st,
+        ctrl_noise[: n_sub - 1],
+    )
+    # Final tick: the vehicle must be active at ITS start for the update to
+    # run (the reference's while-loop would have exited otherwise).
+    tick9_active = st.vehicle.waypoint_id != -1
+    st, last_rec = control_tick(cfg, waypoints, st, ctrl_noise[n_sub - 1])
+    st = observation_step(cfg, landmarks, st, obs_noise, tick9_active)
+    # Tick-9 track entry records the POST-update SLAM pose (the reference
+    # records after the update block, ekfslam-sim.jl:126-128).
+    last_rec = TickRecord(
+        true_pose=st.vehicle.pose, slam_pose=st.ekf.x[:3],
+        active=last_rec.active,
+    )
+    recs = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b[None]], axis=0), recs, last_rec
+    )
+    return st, recs
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def run_epochs(cfg: SimConfig, waypoints, landmarks, st0: SimState, noises):
+    """Oracle-parity mode: scan over epochs consuming pregenerated noise.
+
+    noises = (ctrl: (E, substeps, 2), obs: (E, n_landmarks, 2)) — already
+    scaled by the respective sigmas.
+
+    Returns (final_state, records) with records stacked (E, substeps, ...).
+    """
+    return lax.scan(
+        lambda s, nz: epoch(cfg, waypoints, landmarks, s, nz), st0, noises
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def run_epochs_rng(cfg: SimConfig, waypoints, landmarks, st0: SimState,
+                   n_epochs: int, key):
+    """Production/bench mode: noise drawn on-device inside the scan."""
+    n_lm = landmarks.shape[0]
+    dtype = st0.ekf.x.dtype
+    sig_ctrl = jnp.asarray(
+        [cfg.noise.sigma_speed, cfg.noise.sigma_steer], dtype)
+    sig_obs = jnp.asarray(
+        [cfg.noise.sigma_range, cfg.noise.sigma_bearing], dtype)
+
+    def body(carry, _):
+        st, k = carry
+        k, k1, k2 = jax.random.split(k, 3)
+        ctrl = jax.random.normal(
+            k1, (cfg.substeps_per_obs, 2), dtype) * sig_ctrl
+        obs = jax.random.normal(k2, (n_lm, 2), dtype) * sig_obs
+        st, recs = epoch(cfg, waypoints, landmarks, st, (ctrl, obs))
+        return (st, k), recs
+
+    (st, _), recs = lax.scan(body, (st0, key), None, length=n_epochs)
+    return st, recs
+
+
+def draw_noise_arrays(cfg: SimConfig, n_epochs: int, n_landmarks: int,
+                      seed: int = 0):
+    """Host-side pregenerated noise stream shared with the NumPy oracle."""
+    rng = np.random.default_rng(seed)
+    ctrl = rng.standard_normal((n_epochs, cfg.substeps_per_obs, 2))
+    ctrl *= np.array([cfg.noise.sigma_speed, cfg.noise.sigma_steer])
+    obs = rng.standard_normal((n_epochs, n_landmarks, 2))
+    obs *= np.array([cfg.noise.sigma_range, cfg.noise.sigma_bearing])
+    return ctrl, obs

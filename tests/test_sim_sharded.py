@@ -1,0 +1,83 @@
+"""Full sharded closed-loop run == dense single-chip run (8-dev CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.config import course1_config
+from tpuslam.parallel.ekf_sharded import to_dense
+from tpuslam.parallel.mesh import make_slam_mesh
+from tpuslam.parallel.sim_sharded import (
+    init_sharded_sim_state,
+    make_sharded_run,
+)
+from tpuslam.sim.scene import load_course, make_landmarks
+from tpuslam.sim.simulator import draw_noise_arrays, init_sim_state, run_epochs
+
+N_EPOCHS = 30
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = course1_config(n_landmarks=16, capacity=24, max_obs=16)
+    waypoints = load_course()
+    landmarks = make_landmarks(cfg.scene, seed=5)
+    noises = draw_noise_arrays(cfg, N_EPOCHS, cfg.scene.n_landmarks, seed=13)
+    return cfg, waypoints, landmarks, noises
+
+
+def test_sharded_run_matches_dense(setup):
+    cfg, waypoints, landmarks, noises = setup
+    wp = jnp.asarray(waypoints, jnp.float64)
+    lm = jnp.asarray(landmarks, jnp.float64)
+    nz = tuple(jnp.asarray(n, jnp.float64) for n in noises)
+
+    # Dense single-device run.
+    st_d, recs_d = run_epochs(
+        cfg, wp, lm, init_sim_state(cfg, wp, dtype=jnp.float64), nz
+    )
+
+    # Sharded run over the full 8-device mesh.
+    mesh = make_slam_mesh(n_map=8)
+    run = make_sharded_run(cfg, mesh)
+    st_s, recs_s = run(
+        wp, lm, init_sharded_sim_state(cfg, wp, dtype=jnp.float64), nz
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(recs_d.active), np.asarray(recs_s.active)
+    )
+    np.testing.assert_allclose(
+        np.asarray(recs_s.true_pose), np.asarray(recs_d.true_pose),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(recs_s.slam_pose), np.asarray(recs_d.slam_pose),
+        atol=1e-7,
+    )
+
+    dense_s = to_dense(st_s.ekf)
+    assert int(dense_s.n) == int(st_d.ekf.n)
+    np.testing.assert_allclose(
+        np.asarray(dense_s.x), np.asarray(st_d.ekf.x), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense_s.P), np.asarray(st_d.ekf.P), atol=1e-7
+    )
+
+
+def test_sharded_run_two_axis_mesh(setup):
+    """Map sharding composes with an outer (idle) particle axis."""
+    cfg, waypoints, landmarks, noises = setup
+    wp = jnp.asarray(waypoints, jnp.float64)
+    lm = jnp.asarray(landmarks, jnp.float64)
+    nz = tuple(jnp.asarray(n, jnp.float64) for n in noises)
+
+    mesh = make_slam_mesh(n_map=4, n_particle=2)
+    run = make_sharded_run(cfg, mesh)
+    st_s, recs_s = run(
+        wp, lm, init_sharded_sim_state(cfg, wp, dtype=jnp.float64), nz
+    )
+    assert np.isfinite(np.asarray(to_dense(st_s.ekf).P)).all()
+    assert int(st_s.ekf.n) > 0

@@ -54,17 +54,28 @@ def association_scores(state: EKFState, z, z_mask, R):
     """
     x, P = state.x, state.P
     cap = state.capacity
-
-    zp, Hp, Hf = predict_observations_batch(x[:3], state.features)
     P3f, Pff = _gather_feature_cov_blocks(P, cap)
+    slot_active = jnp.arange(cap) < state.n
+    return pair_scores(
+        x[:3], state.features, P[:3, :3], P3f, Pff, z, z_mask, slot_active, R
+    )
 
-    # S_j = [Hp Hf] [[P33, P3f], [P3f', Pff]] [Hp Hf]' + R     (cap, 2, 2)
-    P33 = P[:3, :3]
+
+def pair_scores(pose, feats, P33, P3f, Pff, z, z_mask, slot_active, R):
+    """Core batched Mahalanobis scoring given gathered covariance blocks.
+
+    feats: (k, 2); P3f: (k, 3, 2); Pff: (k, 2, 2); z: (max_nz, 2).
+    Shared by the single-chip path (k = cap) and the sharded path (k = the
+    shard's local slots).  Returns (nis, nd): (max_nz, k).
+    """
+    zp, Hp, Hf = predict_observations_batch(pose, feats)
+
+    # S_j = [Hp Hf] [[P33, P3f], [P3f', Pff]] [Hp Hf]' + R     (k, 2, 2)
     S = jnp.einsum("jok,kl,jpl->jop", Hp, P33, Hp, precision=_HI)
     cross = jnp.einsum("jok,jkl,jpl->jop", Hp, P3f, Hf, precision=_HI)
     S = S + cross + jnp.swapaxes(cross, -1, -2)
     S = S + jnp.einsum("jok,jkl,jpl->jop", Hf, Pff, Hf, precision=_HI)
-    S = S + jnp.asarray(R, x.dtype)[None]
+    S = S + jnp.asarray(R, pose.dtype)[None]
 
     # Closed-form 2x2 inverse and logdet.
     a, b = S[:, 0, 0], S[:, 0, 1]
@@ -85,8 +96,7 @@ def association_scores(state: EKFState, z, z_mask, R):
     ) * inv_det[None]
     nd = nis + logdet[None]
 
-    active = jnp.arange(cap) < state.n
-    valid = z_mask[:, None] & active[None, :]
+    valid = z_mask[:, None] & slot_active[None, :]
     nis = jnp.where(valid, nis, _INF)
     nd = jnp.where(valid, nd, _INF)
     return nis, nd
@@ -107,7 +117,13 @@ def associate(state: EKFState, z, z_mask, R, gate1, gate2):
     (Dropped observations are ~matched & ~new.)
     """
     nis, nd = association_scores(state, z, z_mask, R)
+    return decide(nis, nd, z_mask, gate1, gate2)
 
+
+def decide(nis, nd, z_mask, gate1, gate2):
+    """The gating decision given (max_nz, cap) score matrices — exact
+    reference semantics (see module docstring).  Shared by the single-chip
+    and sharded association paths."""
     gated = nis < gate1                                   # (max_nz, cap)
     nd_gated = jnp.where(gated, nd, _INF)
 

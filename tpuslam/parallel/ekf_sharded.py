@@ -1,0 +1,320 @@
+"""Block-partitioned EKF-SLAM: the joint-covariance update as a
+Schur-complement reduction over XLA collectives (shard_map over a 'map' mesh
+axis).
+
+The reference's update writes the full dense covariance monolithically
+(src/ekf.jl:67-75: PHt = P*H', S = H*PHt + RR, P -= W1*W1').  At TPU scale
+the landmark-landmark block Pmm is the long axis (SURVEY.md section 5
+"long-context analog") and is *row-sharded* across the mesh; everything that
+is O(cap) or smaller stays replicated:
+
+  pose (3,), feature means fm (cap, 2), pose block Ppp (3, 3),
+  pose-map cross covariance Ppm (3, 2cap)          -> replicated
+  map-map covariance Pmm (2cap, 2cap)               -> row-sharded on 'map'
+
+With that layout the collective structure per filter step is:
+
+  predict   — NO collectives (only pose rows/cols of P change; the Pmm
+              block is untouched, ref src/ekf.jl:32-36)
+  update    — ONE psum of the (2nz, 2nz) Schur system S (each shard
+              contributes H_f-weighted rows of P@H^T it owns) + ONE
+              all_gather of the (2cap, 2nz) gain panel W1_m, after which
+              every shard applies its local rank-2nz downdate
+              Pmm_b -= W1_m[rows_b] @ W1_m^T
+  augment   — NO collectives (new rows/cols derive from the replicated
+              pose rows [Ppp | Ppm]; each shard writes what it owns)
+
+Per-shard feature ownership: feature j's two rows of Pmm live on shard
+j // (cap/D).  `cap % n_shards == 0` is required so a feature's 2x2 block
+never straddles shards.
+
+All functions ending in `_shard` run *inside* shard_map (per-device view);
+`make_sharded_*` wrap them for a given mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.core.geometry import mpi_to_pi
+from tpuslam.core.motion import motion_jacobians
+from tpuslam.core.observation import predict_observation_xy
+from tpuslam.filters.state import EKFState
+
+_HI = lax.Precision.HIGHEST
+
+
+class BlockEKFState(NamedTuple):
+    """Block-decomposed EKF-SLAM state (layout documented in the module
+    docstring).  Dense-equivalent to filters.state.EKFState."""
+
+    pose: jnp.ndarray   # (3,)
+    fm: jnp.ndarray     # (cap, 2) feature means
+    Ppp: jnp.ndarray    # (3, 3)
+    Ppm: jnp.ndarray    # (3, 2cap)
+    Pmm: jnp.ndarray    # (2cap, 2cap), row-sharded over 'map'
+    n: jnp.ndarray      # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.fm.shape[0]
+
+
+def state_specs(axis: str = "map") -> BlockEKFState:
+    """PartitionSpec pytree for BlockEKFState under shard_map/pjit."""
+    return BlockEKFState(
+        pose=P(), fm=P(), Ppp=P(), Ppm=P(), Pmm=P(axis, None), n=P()
+    )
+
+
+def from_dense(state: EKFState) -> BlockEKFState:
+    cap = state.capacity
+    return BlockEKFState(
+        pose=state.x[:3],
+        fm=state.x[3:].reshape(cap, 2),
+        Ppp=state.P[:3, :3],
+        Ppm=state.P[:3, 3:],
+        Pmm=state.P[3:, 3:],
+        n=state.n,
+    )
+
+
+def to_dense(state: BlockEKFState) -> EKFState:
+    x = jnp.concatenate([state.pose, state.fm.reshape(-1)])
+    top = jnp.concatenate([state.Ppp, state.Ppm], axis=1)
+    bot = jnp.concatenate([state.Ppm.T, state.Pmm], axis=1)
+    return EKFState(x=x, P=jnp.concatenate([top, bot], axis=0), n=state.n)
+
+
+# --------------------------------------------------------------------------
+# Per-shard kernels (run inside shard_map; `st.Pmm` is the LOCAL row block).
+# --------------------------------------------------------------------------
+
+
+def predict_shard(st: BlockEKFState, speed, gamma, wheelbase, Q, dt):
+    """Time update — purely local (ref src/ekf.jl:8-43)."""
+    phi = st.pose[2]
+    Gv, Gu = motion_jacobians(phi, speed, gamma, wheelbase, dt)
+    Ppp = Gv @ st.Ppp @ Gv.T + Gu @ jnp.asarray(Q, st.Ppp.dtype) @ Gu.T
+    Ppm = jnp.matmul(Gv, st.Ppm, precision=_HI)
+    vdt = speed * dt
+    pose = jnp.stack(
+        [
+            st.pose[0] + vdt * jnp.cos(gamma + phi),
+            st.pose[1] + vdt * jnp.sin(gamma + phi),
+            mpi_to_pi(phi + vdt * jnp.sin(gamma) / wheelbase),
+        ]
+    )
+    return st._replace(pose=pose, Ppp=Ppp, Ppm=Ppm)
+
+
+def _obs_terms(st: BlockEKFState, z, mask, idf):
+    """Replicated innovation prep (mirrors filters.ekf.innovation_terms)."""
+    feats = st.fm[idf]
+    zp, Hp, Hf = jax.vmap(
+        lambda f: predict_observation_xy(st.pose, f)
+    )(feats)
+    v = jnp.stack(
+        [z[:, 0] - zp[:, 0], mpi_to_pi(z[:, 1] - zp[:, 1])], axis=-1
+    )
+    m = mask.astype(st.pose.dtype)
+    return v * m[:, None], Hp * m[:, None, None], Hf * m[:, None, None]
+
+
+def update_shard(st: BlockEKFState, z, mask, idf, R, *, axis: str = "map"):
+    """Measurement update as a Schur reduction (see module docstring)."""
+    dtype = st.pose.dtype
+    max_nz = z.shape[0]
+    m2 = 2 * max_nz
+    cap2 = st.Pmm.shape[1]          # 2*cap (global)
+    rows_local = st.Pmm.shape[0]    # 2*cap / D
+    b = lax.axis_index(axis)
+    row0 = b * rows_local
+
+    v, Hp, Hf = _obs_terms(st, z, mask, idf)
+    fcol = 2 * idf                                       # global map-row/col
+    fcols = jnp.stack([fcol, fcol + 1], axis=-1)         # (max_nz, 2)
+
+    # ---- PHt pose rows: replicated.
+    Ppm_f = jnp.moveaxis(st.Ppm[:, fcols], 0, 1)         # (max_nz, 3, 2)
+    PHt_p = jnp.einsum("kl,nol->kno", st.Ppp, Hp, precision=_HI)
+    PHt_p = PHt_p + jnp.einsum("nkl,nol->kno", Ppm_f, Hf, precision=_HI)
+    PHt_p = PHt_p.reshape(3, m2)
+
+    # ---- PHt map rows: local block.  Pmp rows = Ppm^T sliced to our rows.
+    Pmp_local = lax.dynamic_slice(
+        st.Ppm, (jnp.zeros_like(row0), row0), (3, rows_local)
+    ).T                                                   # (rows_local, 3)
+    Pmm_f = st.Pmm[:, fcols]                              # (rows_local, nz, 2)
+    PHt_m = jnp.einsum("rk,nok->rno", Pmp_local, Hp, precision=_HI)
+    PHt_m = PHt_m + jnp.einsum("rnk,nok->rno", Pmm_f, Hf, precision=_HI)
+    PHt_m = PHt_m.reshape(rows_local, m2)
+
+    # ---- Schur system S via one psum: each shard contributes the
+    # H_f-weighted PHt rows of the features it owns.
+    lr = fcol - row0                                      # local row of obs' feature
+    owner = (lr >= 0) & (lr < rows_local) & mask
+    lrc = jnp.clip(jnp.stack([lr, lr + 1], axis=-1), 0, rows_local - 1)
+    PHt_frows = PHt_m[lrc] * owner[:, None, None].astype(dtype)  # (nz, 2, m2)
+    C_b = jnp.einsum("nok,nkm->nom", Hf, PHt_frows, precision=_HI)
+    C = lax.psum(C_b.reshape(m2, m2), axis)
+
+    S = jnp.einsum("nok,km->nom", Hp, PHt_p, precision=_HI).reshape(m2, m2)
+    S = S + C
+
+    Rb = jnp.asarray(R, dtype)
+    blocks = jnp.where(mask[:, None, None], Rb[None], jnp.eye(2, dtype=dtype))
+    RR = (
+        jnp.zeros((max_nz, 2, max_nz, 2), dtype)
+        .at[jnp.arange(max_nz), :, jnp.arange(max_nz), :]
+        .set(blocks)
+        .reshape(m2, m2)
+    )
+    S = S + RR
+    S = 0.5 * (S + S.T)
+
+    # ---- Gain factor (replicated small Cholesky) + gain panels.
+    L = jnp.linalg.cholesky(S)
+    W1_p = solve_triangular(L, PHt_p.T, lower=True).T          # (3, m2)
+    W1_m_local = solve_triangular(L, PHt_m.T, lower=True).T    # (rows_local, m2)
+    # THE collective: broadcast the gain panel (Schur "broadcast" leg).
+    W1_m = lax.all_gather(W1_m_local, axis, axis=0, tiled=True)  # (cap2, m2)
+
+    u = solve_triangular(L, v.reshape(m2), lower=True)         # L^-1 v
+    pose = st.pose + W1_p @ u
+    fm = st.fm + (W1_m @ u).reshape(-1, 2)
+
+    Ppp = st.Ppp - jnp.matmul(W1_p, W1_p.T, precision=_HI)
+    Ppm = st.Ppm - jnp.matmul(W1_p, W1_m.T, precision=_HI)
+    Pmm = st.Pmm - jnp.matmul(W1_m_local, W1_m.T, precision=_HI)
+    return BlockEKFState(pose=pose, fm=fm, Ppp=Ppp, Ppm=Ppm, Pmm=Pmm, n=st.n)
+
+
+def add_features_shard(st: BlockEKFState, z, mask, R, *, axis: str = "map"):
+    """Augmentation — purely local writes (see module docstring).
+
+    Mirrors filters.ekf.add_features: new rows derive from the replicated
+    pose rows [Ppp | Ppm]; each shard scatters the rows it owns, every shard
+    scatters its column slice, and the pairwise new-feature blocks are
+    computed replicated and written by the owning shard.
+    """
+    dtype = st.pose.dtype
+    cap = st.fm.shape[0]
+    cap2 = 2 * cap
+    rows_local = st.Pmm.shape[0]
+    b = lax.axis_index(axis)
+    row0 = b * rows_local
+    max_new = z.shape[0]
+    mi = mask.astype(jnp.int32)
+
+    r, bb = z[:, 0], z[:, 1]
+    phi = st.pose[2]
+    s = jnp.sin(phi + bb)
+    c = jnp.cos(phi + bb)
+    fx = st.pose[0] + r * c
+    fy = st.pose[1] + r * s
+
+    pos = st.n + jnp.cumsum(mi) - mi                 # global slot per new feat
+    slot_ok = mask & (pos < cap)
+    gcol = jnp.where(slot_ok, 2 * pos, cap2)         # OOB => dropped
+    gcols = jnp.stack([gcol, gcol + 1], axis=-1).reshape(-1)  # (2*max_new,)
+
+    # Feature means (replicated scatter).
+    fslot = jnp.where(slot_ok, pos, cap)
+    fm = st.fm.at[fslot].set(jnp.stack([fx, fy], axis=-1), mode="drop")
+
+    one = jnp.ones_like(r)
+    zero = jnp.zeros_like(r)
+    Gv = jnp.stack(
+        [jnp.stack([one, zero, -r * s], axis=-1),
+         jnp.stack([zero, one, r * c], axis=-1)], axis=-2)     # (max_new,2,3)
+    Gz = jnp.stack(
+        [jnp.stack([c, -r * s], axis=-1),
+         jnp.stack([s, r * c], axis=-1)], axis=-2)             # (max_new,2,2)
+
+    # New pose-map cross columns: Ppm[:, new] = (Gv Ppp)^T  (ref ekf.jl:117).
+    A_pose = jnp.einsum("nok,kl->nol", Gv, st.Ppp, precision=_HI)  # (n,2,3)
+    Ppm = st.Ppm.at[:, gcols].set(
+        A_pose.reshape(-1, 3).T, mode="drop"
+    )
+
+    # New map rows/cols against the OLD map: A_map = Gv @ Ppm_old (2, cap2).
+    A_map = jnp.einsum("nok,kd->nod", Gv, st.Ppm, precision=_HI)
+    A_flat = A_map.reshape(2 * max_new, cap2)
+
+    # Rows we own: global row id -> local.
+    lrow = gcols - row0
+    lrow = jnp.where((lrow >= 0) & (lrow < rows_local), lrow, rows_local)
+    Pmm = st.Pmm.at[lrow, :].set(A_flat, mode="drop")
+
+    # Our column slice of every new column: A_map sliced over the global map
+    # axis to our row range, transposed.
+    A_local_cols = lax.dynamic_slice(
+        A_flat, (jnp.zeros_like(row0), row0), (2 * max_new, rows_local)
+    ).T                                               # (rows_local, 2*max_new)
+    Pmm = Pmm.at[:, gcols].set(A_local_cols, mode="drop")
+
+    # Pairwise new-feature blocks (replicated math, owner writes rows).
+    B = jnp.einsum("iok,kl,jpl->iojp", Gv, st.Ppp, Gv, precision=_HI)
+    D = jnp.einsum("iok,kl,ipl->iop", Gz, jnp.asarray(R, dtype), Gz,
+                   precision=_HI)
+    B = B.at[jnp.arange(max_new), :, jnp.arange(max_new), :].add(D)
+    B2 = B.reshape(2 * max_new, 2 * max_new)
+    Pmm = Pmm.at[lrow[:, None], gcols[None, :]].set(B2, mode="drop")
+
+    n_new = jnp.minimum(st.n + jnp.sum(mi, dtype=st.n.dtype), cap)
+    return st._replace(fm=fm, Ppm=Ppm, Pmm=Pmm, n=n_new.astype(st.n.dtype))
+
+
+# --------------------------------------------------------------------------
+# shard_map wrappers.  check_vma=False: the replicated outputs (pose, Ppp,
+# Ppm, fm) are computed from psum/all_gather results combined with replicated
+# inputs — genuinely replicated, but the static VMA checker cannot prove it
+# through the axis_index-dependent row slicing.  Equivalence with the dense
+# filter is asserted numerically in tests/test_sharded.py.
+# --------------------------------------------------------------------------
+
+
+def make_sharded_update(mesh, axis: str = "map"):
+    sp = state_specs(axis)
+    fn = functools.partial(update_shard, axis=axis)
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(sp, P(), P(), P(), P()),
+            out_specs=sp,
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_predict(mesh, axis: str = "map"):
+    sp = state_specs(axis)
+    return jax.jit(
+        jax.shard_map(
+            predict_shard, mesh=mesh,
+            in_specs=(sp, P(), P(), P(), P(), P()),
+            out_specs=sp,
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_add_features(mesh, axis: str = "map"):
+    sp = state_specs(axis)
+    fn = functools.partial(add_features_shard, axis=axis)
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(sp, P(), P(), P()),
+            out_specs=sp,
+            check_vma=False,
+        )
+    )

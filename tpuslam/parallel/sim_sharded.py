@@ -1,0 +1,204 @@
+"""Closed-loop EKF-SLAM with the map sharded over the mesh: the full
+sim!-equivalent epoch scan (sim/ekfslam-sim.jl:49-143) running inside one
+shard_map, so the Schur-reduction collectives of every update ride the mesh
+interconnect while the vehicle/sensor side stays replicated.
+
+Structure mirrors tpuslam.sim.simulator exactly; equivalence with the dense
+single-chip engine is asserted in tests/test_sim_sharded.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.assoc.nn import decide, pair_scores
+from tpuslam.config import SimConfig
+from tpuslam.parallel.ekf_sharded import (
+    BlockEKFState,
+    add_features_shard,
+    predict_shard,
+    state_specs,
+    update_shard,
+)
+from tpuslam.sim.sensors import get_observations
+from tpuslam.sim.simulator import (
+    SimState,
+    TickRecord,
+    VehicleState,
+    init_sim_state,
+    vehicle_tick,
+)
+from tpuslam.utils.tree import tree_select
+
+
+class ShardedSimState(NamedTuple):
+    vehicle: VehicleState   # replicated
+    ekf: BlockEKFState      # Pmm row-sharded over 'map'
+
+
+def sim_state_specs(axis: str = "map") -> ShardedSimState:
+    return ShardedSimState(
+        vehicle=VehicleState(P(), P(), P(), P()),
+        ekf=state_specs(axis),
+    )
+
+
+def init_sharded_sim_state(cfg: SimConfig, waypoints, dtype=jnp.float32):
+    from tpuslam.parallel.ekf_sharded import from_dense
+
+    st = init_sim_state(cfg, waypoints, dtype)
+    return ShardedSimState(vehicle=st.vehicle, ekf=from_dense(st.ekf))
+
+
+def associate_shard(st: BlockEKFState, z, z_mask, R, gate1, gate2,
+                    *, axis: str = "map"):
+    """Gated NN association over the sharded state.
+
+    Each shard scores the (obs x local-slot) pairs from the covariance
+    blocks it owns (Pff diag blocks live in its Pmm rows), then one
+    all_gather of the (max_nz, cap_local) score panel replicates the full
+    score matrix and the decision logic runs replicated — identical
+    semantics to the single-chip path (assoc/nn.py)."""
+    rows_local = st.Pmm.shape[0]
+    cap_local = rows_local // 2
+    b = lax.axis_index(axis)
+    f0 = b * cap_local
+    row0 = b * rows_local
+
+    feats_local = lax.dynamic_slice(
+        st.fm, (f0, jnp.zeros_like(f0)), (cap_local, 2)
+    )
+    # Pose-feature blocks from the replicated Ppm, sliced to our columns.
+    P3f = lax.dynamic_slice(
+        st.Ppm, (jnp.zeros_like(row0), row0), (3, rows_local)
+    ).reshape(3, cap_local, 2).transpose(1, 0, 2)          # (cap_local, 3, 2)
+    # Feature 2x2 diag blocks from our Pmm rows (global column offset row0).
+    lrow = 2 * jnp.arange(cap_local)
+    rpairs = jnp.stack([lrow, lrow + 1], axis=-1)          # local rows
+    cpairs = rpairs + row0                                  # global cols
+    Pff = st.Pmm[rpairs[:, :, None], cpairs[:, None, :]]   # (cap_local, 2, 2)
+
+    slot_active = (f0 + jnp.arange(cap_local)) < st.n
+    nis_l, nd_l = pair_scores(
+        st.pose, feats_local, st.Ppp, P3f, Pff, z, z_mask, slot_active, R
+    )
+    # One all_gather replicates the full (max_nz, cap) score matrices.
+    scores = lax.all_gather(
+        jnp.stack([nis_l, nd_l]), axis, axis=2, tiled=True
+    )
+    return decide(scores[0], scores[1], z_mask, gate1, gate2)
+
+
+def observation_step_shard(cfg: SimConfig, landmarks, st: ShardedSimState,
+                           obs_noise, active, *, axis: str = "map"):
+    """Sharded mirror of sim.simulator.observation_step."""
+    dtype = st.ekf.pose.dtype
+    R = jnp.diag(jnp.asarray(cfg.noise.R, dtype))
+    z, z_mask, _ = get_observations(
+        st.vehicle.pose, landmarks, cfg.vehicle.sensor_range,
+        obs_noise, cfg.max_obs,
+    )
+    idf, matched, new = associate_shard(
+        st.ekf, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat, axis=axis
+    )
+    ekf = update_shard(st.ekf, z, matched, idf, R, axis=axis)
+    ekf = add_features_shard(ekf, z, new, R, axis=axis)
+    return tree_select(active, ShardedSimState(st.vehicle, ekf), st)
+
+
+def control_tick_shard(cfg: SimConfig, waypoints, st: ShardedSimState,
+                       ctrl_noise):
+    veh, v_m, g_m, active = vehicle_tick(cfg, waypoints, st.vehicle, ctrl_noise)
+    Q = jnp.diag(jnp.asarray(cfg.noise.Q, st.ekf.pose.dtype))
+    ekf = predict_shard(st.ekf, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt)
+    out = tree_select(active, ShardedSimState(veh, ekf), st)
+    rec = TickRecord(
+        true_pose=out.vehicle.pose, slam_pose=out.ekf.pose, active=active
+    )
+    return out, rec
+
+
+def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
+                *, axis: str = "map"):
+    ctrl_noise, obs_noise = noises
+    n_sub = cfg.substeps_per_obs
+    st, recs = lax.scan(
+        lambda s, nz: control_tick_shard(cfg, waypoints, s, nz),
+        st,
+        ctrl_noise[: n_sub - 1],
+    )
+    tick9_active = st.vehicle.waypoint_id != -1
+    st, last_rec = control_tick_shard(cfg, waypoints, st, ctrl_noise[n_sub - 1])
+    st = observation_step_shard(cfg, landmarks, st, obs_noise, tick9_active,
+                                axis=axis)
+    last_rec = TickRecord(
+        true_pose=st.vehicle.pose, slam_pose=st.ekf.pose,
+        active=last_rec.active,
+    )
+    recs = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b[None]], axis=0), recs, last_rec
+    )
+    return st, recs
+
+
+def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map"):
+    """Whole-run scan (array-noise mode) inside one shard_map."""
+    sp = sim_state_specs(axis)
+
+    def run(waypoints, landmarks, st0, noises):
+        return lax.scan(
+            lambda s, nz: epoch_shard(cfg, waypoints, landmarks, s, nz,
+                                      axis=axis),
+            st0, noises,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P(), sp, P()),
+            out_specs=(sp, P()),
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
+                         axis: str = "map"):
+    """Whole-run scan with on-device noise (production/bench mode)."""
+    sp = sim_state_specs(axis)
+
+    def run(waypoints, landmarks, st0, key):
+        n_lm = landmarks.shape[0]
+        dtype = st0.ekf.pose.dtype
+        sig_ctrl = jnp.asarray(
+            [cfg.noise.sigma_speed, cfg.noise.sigma_steer], dtype)
+        sig_obs = jnp.asarray(
+            [cfg.noise.sigma_range, cfg.noise.sigma_bearing], dtype)
+
+        def body(carry, _):
+            st, k = carry
+            k, k1, k2 = jax.random.split(k, 3)
+            ctrl = jax.random.normal(
+                k1, (cfg.substeps_per_obs, 2), dtype) * sig_ctrl
+            obs = jax.random.normal(k2, (n_lm, 2), dtype) * sig_obs
+            st, recs = epoch_shard(cfg, waypoints, landmarks, st,
+                                   (ctrl, obs), axis=axis)
+            return (st, k), recs
+
+        (st, _), recs = lax.scan(body, (st0, key), None, length=n_epochs)
+        return st, recs
+
+    return jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P(), sp, P()),
+            out_specs=(sp, P()),
+            check_vma=False,
+        )
+    )

@@ -73,14 +73,13 @@ def init_sim_state(cfg: SimConfig, waypoints, dtype=jnp.float32) -> SimState:
     return SimState(vehicle=vehicle, ekf=make_ekf_state(pose, cfg.capacity, dtype))
 
 
-def control_tick(cfg: SimConfig, waypoints, st: SimState, ctrl_noise):
-    """One 40 Hz control step (ref ekfslam-sim.jl:85-103).
+def vehicle_tick(cfg: SimConfig, waypoints, veh: VehicleState, ctrl_noise):
+    """Ground-truth half of a 40 Hz control step: steer -> lap restart ->
+    vehicle motion (target controls) -> control noise.
 
-    Order: steer -> lap restart -> vehicle motion (target controls) ->
-    control noise -> EKF predict (measured controls).  A finished vehicle
-    (waypoint_id == -1 at tick start) is a masked no-op.
+    Returns (new_vehicle, measured_speed, measured_gamma, active).  Shared by
+    the dense and sharded sim paths (the EKF predict differs between them).
     """
-    veh, ekf = st.vehicle, st.ekf
     active = veh.waypoint_id != -1
 
     gamma, iwp = steer(
@@ -97,11 +96,21 @@ def control_tick(cfg: SimConfig, waypoints, st: SimState, ctrl_noise):
         veh.pose, cfg.vehicle.target_speed, gamma, cfg.vehicle.wheelbase, cfg.dt
     )
     v_m, g_m = add_control_noise(cfg.vehicle.target_speed, gamma, ctrl_noise)
-    Q = jnp.diag(jnp.asarray(cfg.noise.Q, ekf.x.dtype))
-    ekf = predict(ekf, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt)
+    return VehicleState(pose, gamma, iwp, nlaps), v_m, g_m, active
 
-    new = SimState(VehicleState(pose, gamma, iwp, nlaps), ekf)
-    out = tree_select(active, new, st)
+
+def control_tick(cfg: SimConfig, waypoints, st: SimState, ctrl_noise):
+    """One 40 Hz control step (ref ekfslam-sim.jl:85-103).
+
+    Order: steer -> lap restart -> vehicle motion (target controls) ->
+    control noise -> EKF predict (measured controls).  A finished vehicle
+    (waypoint_id == -1 at tick start) is a masked no-op.
+    """
+    veh, v_m, g_m, active = vehicle_tick(cfg, waypoints, st.vehicle, ctrl_noise)
+    Q = jnp.diag(jnp.asarray(cfg.noise.Q, st.ekf.x.dtype))
+    ekf = predict(st.ekf, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt)
+
+    out = tree_select(active, SimState(veh, ekf), st)
     rec = TickRecord(
         true_pose=out.vehicle.pose, slam_pose=out.ekf.x[:3], active=active
     )

@@ -1,0 +1,110 @@
+"""FastSLAM RBPF: unit + statistical closed-loop tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.bench.metrics import ate_rmse
+from tpuslam.config import course1_config
+from tpuslam.filters.fastslam import (
+    effective_sample_size,
+    estimate_pose,
+    make_pf_state,
+    maybe_resample,
+    measurement_update,
+    predict_particles,
+    systematic_resample_indices,
+)
+from tpuslam.sim.scene import load_course, make_landmarks
+from tpuslam.sim.pf_simulator import init_pf_sim_state, run_epochs_pf
+
+R = jnp.diag(jnp.array([0.01, 0.0003]))
+
+
+def test_make_state_uniform_weights():
+    st = make_pf_state([1.0, 2.0, 0.3], 50, 8)
+    w = np.exp(np.asarray(st.logw))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
+    assert st.poses.shape == (50, 3)
+    assert st.fm.shape == (50, 8, 2)
+
+
+def test_predict_spreads_particles():
+    st = make_pf_state([0.0, 0.0, 0.0], 200, 4, dtype=jnp.float64)
+    Q = jnp.diag(jnp.array([0.25, 0.003]))
+    st2 = predict_particles(st, 8.0, 0.1, Q, 4.0, 0.025, jax.random.key(0))
+    p = np.asarray(st2.poses)
+    assert p[:, 0].std() > 0  # speed noise spreads x
+    # Mean displacement approx v*dt in heading direction.
+    assert abs(p[:, 0].mean() - 8.0 * 0.025 * np.cos(0.1)) < 0.01
+
+
+def test_measurement_update_new_and_matched():
+    st = make_pf_state([0.0, 0.0, 0.0], 10, 8, dtype=jnp.float64)
+    z = jnp.asarray([[10.0, 0.2], [5.0, -1.0], [0.0, 0.0]])
+    mask = jnp.asarray([True, True, False])
+    # First epoch: everything is a new feature.
+    st = measurement_update(st, z, mask, R, 4.0, 25.0)
+    assert np.all(np.asarray(st.n) == 2)
+    fm = np.asarray(st.fm)
+    np.testing.assert_allclose(
+        fm[0, 0], [10 * np.cos(0.2), 10 * np.sin(0.2)], atol=1e-9
+    )
+    # Second epoch, same observations: should match, not duplicate.
+    st2 = measurement_update(st, z, mask, R, 4.0, 25.0)
+    assert np.all(np.asarray(st2.n) == 2)
+    # Covariance should shrink after a second look.
+    assert np.trace(np.asarray(st2.fP)[0, 0]) < np.trace(np.asarray(st.fP)[0, 0])
+    # Weights stay normalized.
+    np.testing.assert_allclose(
+        np.exp(np.asarray(st2.logw)).sum(), 1.0, rtol=1e-6
+    )
+
+
+def test_systematic_resample_proportional():
+    logw = jnp.log(jnp.asarray([0.7, 0.1, 0.1, 0.1]))
+    counts = np.zeros(4)
+    for s in range(200):
+        idx = np.asarray(
+            systematic_resample_indices(logw, jax.random.key(s))
+        )
+        counts += np.bincount(idx, minlength=4)
+    frac = counts / counts.sum()
+    np.testing.assert_allclose(frac, [0.7, 0.1, 0.1, 0.1], atol=0.05)
+
+
+def test_maybe_resample_triggers_on_degenerate_weights():
+    st = make_pf_state([0.0, 0.0, 0.0], 8, 4)
+    st = st._replace(
+        logw=jnp.asarray([0.0, -50, -50, -50, -50, -50, -50, -50],
+                         jnp.float32),
+        poses=st.poses.at[0].set(jnp.asarray([9.0, 9.0, 0.5], jnp.float32)),
+    )
+    assert float(effective_sample_size(st.logw)) < 1.5
+    st2 = maybe_resample(st, jax.random.key(0))
+    # All survivors should be copies of particle 0.
+    np.testing.assert_allclose(
+        np.asarray(st2.poses), np.tile([9.0, 9.0, 0.5], (8, 1)), atol=1e-6
+    )
+    assert float(effective_sample_size(st2.logw)) == pytest.approx(8.0)
+
+
+def test_closed_loop_course1_ate():
+    """Config-3 shape: 100 particles on course1; ATE must stay bounded."""
+    cfg = course1_config(n_landmarks=15, capacity=24, max_obs=16)
+    wp = jnp.asarray(load_course(), jnp.float64)
+    lm = jnp.asarray(make_landmarks(cfg.scene, seed=3), jnp.float64)
+    st0 = init_pf_sim_state(cfg, wp, 100, jax.random.key(1), dtype=jnp.float64)
+    st, recs = run_epochs_pf(cfg, wp, lm, st0, 60, jax.random.key(2))
+    active = np.asarray(recs.active).reshape(-1)
+    tt = np.asarray(recs.true_pose).reshape(-1, 3)[active]
+    ss = np.asarray(recs.slam_pose).reshape(-1, 3)[active]
+    assert active.sum() == 540
+    ate = ate_rmse(ss, tt)
+    assert np.isfinite(ate) and ate < 2.0
+    # Map should have features and finite covariances.
+    assert int(np.asarray(st.pf.n).max()) >= 5
+    assert np.isfinite(np.asarray(st.pf.fP)).all()
+    w = np.exp(np.asarray(st.pf.logw))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: full closed-loop EKF-SLAM throughput (control ticks/sec) on a
+synthetic 1k-landmark scene, single chip — BASELINE.json config 2's shape.
+The reference's only implicit rate is its real-time throttle: 40 Hz control
+loop / 5 Hz EKF update (sim/ekfslam-sim.jl:75-76,133-137), so
+vs_baseline = ticks_per_sec / 40.
+
+Extra measurements (course1 ATE, update rate, per-phase timing) go to
+stderr so stdout stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_closed_loop(cfg, landmarks, waypoints, n_epochs, key, dtype):
+    """Time a full jitted closed-loop run; returns (ticks/s, result)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
+
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+    st0 = init_sim_state(cfg, wp, dtype=dtype)
+
+    t0 = time.time()
+    out = jax.block_until_ready(
+        run_epochs_rng(cfg, wp, lm, st0, n_epochs, key)
+    )
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    out = jax.block_until_ready(
+        run_epochs_rng(cfg, wp, lm, st0, n_epochs, key)
+    )
+    dt = time.time() - t0
+    ticks = n_epochs * cfg.substeps_per_obs
+    log(f"  compile+run {t_compile:.1f}s; steady run {dt:.3f}s "
+        f"({ticks} ticks -> {ticks / dt:.0f} ticks/s, "
+        f"{n_epochs / dt:.1f} updates/s)")
+    return ticks / dt, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.bench.metrics import ate_rmse
+    from tpuslam.config import SceneConfig, SimConfig, course1_config
+    from tpuslam.sim.scene import load_course, make_grid_course, make_landmarks
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    dtype = jnp.float32
+
+    # --- Config 1 sanity: course1, reference params — ATE gate.
+    cfg1 = course1_config(n_landmarks=35, capacity=64, max_obs=48)
+    wp1 = load_course()
+    lm1 = make_landmarks(cfg1.scene, seed=3)
+    n_ep1 = 150 if args.quick else 1100
+    log(f"[course1] 35 landmarks, cap 64, {n_ep1} epochs")
+    rate1, (st1, recs1) = bench_closed_loop(
+        cfg1, lm1, wp1, n_ep1, jax.random.key(0), dtype
+    )
+    active = np.asarray(recs1.active).reshape(-1)
+    tt = np.asarray(recs1.true_pose).reshape(-1, 3)[active]
+    ss = np.asarray(recs1.slam_pose).reshape(-1, 3)[active]
+    ate = ate_rmse(ss, tt)
+    log(f"  ATE {ate:.3f} m over {active.sum()} ticks; "
+        f"landmarks {int(st1.ekf.n)}/35")
+
+    # --- Config 2 shape: synthetic 1k-landmark scene, single chip.
+    scene = SceneConfig(
+        xmin=0.0, xmax=400.0, ymin=0.0, ymax=400.0,
+        n_landmarks=1000, legacy_integer_landmarks=False,
+    )
+    cfg2 = SimConfig(scene=scene, capacity=1024, max_obs=32)
+    wp2 = make_grid_course(400.0, n_per_side=5)
+    lm2 = make_landmarks(scene, seed=4)
+    n_ep2 = 30 if args.quick else 200
+    log(f"[1k-landmark] cap 1024, {n_ep2} epochs")
+    rate2, (st2, _) = bench_closed_loop(
+        cfg2, lm2, wp2, n_ep2, jax.random.key(1), dtype
+    )
+    log(f"  landmarks mapped: {int(st2.ekf.n)}")
+
+    healthy = bool(np.isfinite(ate) and ate < 5.0)
+    value = rate2 if healthy else 0.0
+    print(json.dumps({
+        "metric": "ekfslam_1k_landmark_closed_loop_ticks_per_s_1chip",
+        "value": round(float(value), 2),
+        "unit": "ticks/s",
+        "vs_baseline": round(float(value) / 40.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,11 @@ def predict(state: EKFState, speed, gamma, wheelbase, Q, dt) -> EKFState:
     Gv, Gu = motion_jacobians(phi, speed, gamma, wheelbase, dt)
 
     P33 = P[:3, :3]
-    new_P33 = Gv @ P33 @ Gv.T + Gu @ jnp.asarray(Q, P.dtype) @ Gu.T
+    Qc = jnp.asarray(Q, P.dtype)
+    new_P33 = (
+        jnp.einsum("ik,kl,jl->ij", Gv, P33, Gv, precision=_HI)
+        + jnp.einsum("ik,kl,jl->ij", Gu, Qc, Gu, precision=_HI)
+    )
     new_Ppm = jnp.matmul(Gv, P[:3, 3:], precision=_HI)  # (3, 2*cap)
 
     P = P.at[:3, 3:].set(new_Ppm)
@@ -139,7 +143,7 @@ def update(state: EKFState, z, mask, idf, R) -> EKFState:
     W1 = solve_triangular(L, PHt2.T, lower=True).T           # PHt @ L^-T
     W = solve_triangular(L.T, W1.T, lower=False).T           # W1 @ L^-1
 
-    x = x + W @ v.reshape(m2)
+    x = x + jnp.matmul(W, v.reshape(m2), precision=_HI)
     P = P - jnp.matmul(W1, W1.T, precision=_HI)
     return EKFState(x=x, P=P, n=state.n)
 

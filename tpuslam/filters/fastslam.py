@@ -32,6 +32,8 @@ from tpuslam.core.geometry import mpi_to_pi
 from tpuslam.core.motion import step_vehicle
 from tpuslam.core.observation import predict_observation_xy
 
+_HI = lax.Precision.HIGHEST
+
 _INF = jnp.inf
 _LOG2PI = 1.8378770664093453
 
@@ -100,7 +102,7 @@ def _particle_scores(pose, fm, fP, n, z, z_mask, R):
     sample, not a distribution)."""
     cap = fm.shape[0]
     zp, _, Hf = jax.vmap(lambda f: predict_observation_xy(pose, f))(fm)
-    S = jnp.einsum("jok,jkl,jpl->jop", Hf, fP, Hf) + R[None]
+    S = jnp.einsum("jok,jkl,jpl->jop", Hf, fP, Hf, precision=_HI) + R[None]
 
     a, b = S[:, 0, 0], S[:, 0, 1]
     c, d = S[:, 1, 0], S[:, 1, 1]
@@ -137,7 +139,7 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
         [z[:, 0] - zp[:, 0], mpi_to_pi(z[:, 1] - zp[:, 1])], axis=-1
     )
     Pf = fP[idf]                                          # (nz, 2, 2)
-    S = jnp.einsum("nok,nkl,npl->nop", Hf, Pf, Hf) + R[None]
+    S = jnp.einsum("nok,nkl,npl->nop", Hf, Pf, Hf, precision=_HI) + R[None]
     S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
     a, b_, c_, d = S[:, 0, 0], S[:, 0, 1], S[:, 1, 0], S[:, 1, 1]
     det = a * d - b_ * c_
@@ -146,11 +148,11 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
             [jnp.stack([d, -b_], -1), jnp.stack([-c_, a], -1)], -2
         ) / det[:, None, None]
     )
-    K = jnp.einsum("nkl,npl,npo->nko", Pf, Hf, Sinv)       # (nz, 2, 2)
-    dmean = jnp.einsum("nko,no->nk", K, v)
+    K = jnp.einsum("nkl,npl,npo->nko", Pf, Hf, Sinv, precision=_HI)       # (nz, 2, 2)
+    dmean = jnp.einsum("nko,no->nk", K, v, precision=_HI)
     # Joseph-form-ish: P' = (I - K Hf) P (symmetrized).
-    IKH = jnp.eye(2, dtype=dtype)[None] - jnp.einsum("nko,nol->nkl", K, Hf)
-    Pf_new = jnp.einsum("nkl,nlm->nkm", IKH, Pf)
+    IKH = jnp.eye(2, dtype=dtype)[None] - jnp.einsum("nko,nol->nkl", K, Hf, precision=_HI)
+    Pf_new = jnp.einsum("nkl,nlm->nkm", IKH, Pf, precision=_HI)
     Pf_new = 0.5 * (Pf_new + jnp.swapaxes(Pf_new, -1, -2))
 
     # Scatter the updates (unmatched slots are OOB => dropped).  If two
@@ -163,7 +165,7 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
     fP = fP.at[upd_slot].set(Pf_new, mode="drop")
 
     # Weight: product of matched-observation likelihoods N(v; 0, S).
-    quad = jnp.einsum("no,nop,np->n", v, Sinv, v)
+    quad = jnp.einsum("no,nop,np->n", v, Sinv, v, precision=_HI)
     loglik = -0.5 * (quad + jnp.log(det) + 2.0 * _LOG2PI)
     dlogw = jnp.sum(jnp.where(matched, loglik, 0.0))
 
@@ -180,7 +182,7 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
     Gz = jnp.stack(
         [jnp.stack([c, -r * s], -1), jnp.stack([s, r * c], -1)], -2
     )
-    P0 = jnp.einsum("nok,kl,npl->nop", Gz, R, Gz)
+    P0 = jnp.einsum("nok,kl,npl->nop", Gz, R, Gz, precision=_HI)
     fm = fm.at[slot].set(fxy, mode="drop")
     fP = fP.at[slot].set(P0, mode="drop")
     n = jnp.minimum(n + jnp.sum(mi, dtype=n.dtype), cap).astype(n.dtype)

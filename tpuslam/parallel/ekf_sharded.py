@@ -102,7 +102,11 @@ def predict_shard(st: BlockEKFState, speed, gamma, wheelbase, Q, dt):
     """Time update — purely local (ref src/ekf.jl:8-43)."""
     phi = st.pose[2]
     Gv, Gu = motion_jacobians(phi, speed, gamma, wheelbase, dt)
-    Ppp = Gv @ st.Ppp @ Gv.T + Gu @ jnp.asarray(Q, st.Ppp.dtype) @ Gu.T
+    Qc = jnp.asarray(Q, st.Ppp.dtype)
+    Ppp = (
+        jnp.einsum("ik,kl,jl->ij", Gv, st.Ppp, Gv, precision=_HI)
+        + jnp.einsum("ik,kl,jl->ij", Gu, Qc, Gu, precision=_HI)
+    )
     Ppm = jnp.matmul(Gv, st.Ppm, precision=_HI)
     vdt = speed * dt
     pose = jnp.stack(
@@ -188,8 +192,8 @@ def update_shard(st: BlockEKFState, z, mask, idf, R, *, axis: str = "map"):
     W1_m = lax.all_gather(W1_m_local, axis, axis=0, tiled=True)  # (cap2, m2)
 
     u = solve_triangular(L, v.reshape(m2), lower=True)         # L^-1 v
-    pose = st.pose + W1_p @ u
-    fm = st.fm + (W1_m @ u).reshape(-1, 2)
+    pose = st.pose + jnp.matmul(W1_p, u, precision=_HI)
+    fm = st.fm + jnp.matmul(W1_m, u, precision=_HI).reshape(-1, 2)
 
     Ppp = st.Ppp - jnp.matmul(W1_p, W1_p.T, precision=_HI)
     Ppm = st.Ppm - jnp.matmul(W1_p, W1_m.T, precision=_HI)

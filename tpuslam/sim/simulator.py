@@ -32,7 +32,14 @@ from tpuslam.assoc.nn import associate
 from tpuslam.config import SimConfig
 from tpuslam.core.geometry import initial_pose
 from tpuslam.core.motion import steer, step_vehicle
-from tpuslam.filters.ekf import add_features, predict, update
+from tpuslam.filters.ekf import (
+    add_features,
+    apply_predict,
+    predict,
+    predict_accumulate,
+    predict_accumulator_init,
+    update,
+)
 from tpuslam.filters.state import EKFState, make_ekf_state
 from tpuslam.sim.sensors import add_control_noise, get_observations
 from tpuslam.utils.tree import tree_select
@@ -135,28 +142,41 @@ def observation_step(cfg: SimConfig, landmarks, st: SimState, obs_noise, active)
 
 def epoch(cfg: SimConfig, waypoints, landmarks, st: SimState, noises):
     """`substeps_per_obs` control ticks with the measurement update fused
-    into the last one (where the reference's dtsum check fires)."""
-    ctrl_noise, obs_noise = noises  # (substeps, 2), (n_landmarks, 2)
-    n_sub = cfg.substeps_per_obs
+    into the last one (where the reference's dtsum check fires).
 
-    st, recs = lax.scan(
-        lambda s, nz: control_tick(cfg, waypoints, s, nz),
-        st,
-        ctrl_noise[: n_sub - 1],
-    )
-    # Final tick: the vehicle must be active at ITS start for the update to
-    # run (the reference's while-loop would have exited otherwise).
-    tick9_active = st.vehicle.waypoint_id != -1
-    st, last_rec = control_tick(cfg, waypoints, st, ctrl_noise[n_sub - 1])
+    The covariance time update is ACCUMULATED across the epoch's ticks and
+    applied to P once (filters.ekf.predict_accumulate — algebraically exact
+    composition of the per-tick predicts; only the O(1) pose mean and 3x3
+    Jacobian products evolve per tick)."""
+    ctrl_noise, obs_noise = noises  # (substeps, 2), (n_landmarks, 2)
+    Q = jnp.diag(jnp.asarray(cfg.noise.Q, st.ekf.x.dtype))
+
+    def tick(carry, nz):
+        veh, acc = carry
+        veh2, v_m, g_m, active = vehicle_tick(cfg, waypoints, veh, nz)
+        acc2 = predict_accumulate(
+            acc, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt
+        )
+        veh_out, acc_out = tree_select(active, (veh2, acc2), (veh, acc))
+        rec = TickRecord(
+            true_pose=veh_out.pose, slam_pose=acc_out[0], active=active
+        )
+        return (veh_out, acc_out), rec
+
+    acc0 = predict_accumulator_init(st.ekf.x[:3])
+    (veh, acc), recs = lax.scan(tick, (st.vehicle, acc0), ctrl_noise)
+    # Activity at the START of the final tick gates the measurement step
+    # (the reference's while-loop would have exited otherwise).
+    tick9_active = recs.active[-1]
+    ekf = apply_predict(st.ekf, *acc)
+    st = SimState(veh, ekf)
     st = observation_step(cfg, landmarks, st, obs_noise, tick9_active)
     # Tick-9 track entry records the POST-update SLAM pose (the reference
     # records after the update block, ekfslam-sim.jl:126-128).
-    last_rec = TickRecord(
-        true_pose=st.vehicle.pose, slam_pose=st.ekf.x[:3],
-        active=last_rec.active,
-    )
-    recs = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b[None]], axis=0), recs, last_rec
+    recs = TickRecord(
+        true_pose=recs.true_pose,
+        slam_pose=recs.slam_pose.at[-1].set(st.ekf.x[:3]),
+        active=recs.active,
     )
     return st, recs
 

@@ -202,15 +202,14 @@ def update(state: EKFState, z, mask, idf, R) -> EKFState:
     S = jnp.matmul(Hd, PHt2, precision=_HI)                  # (m2, m2)
 
     # Block-diagonal noise: R for real observations, I for padded slots
-    # (keeps S well-conditioned; padded blocks decouple exactly).
+    # (keeps S well-conditioned; padded blocks decouple exactly).  Built by
+    # broadcast (eye * blocks), not scatter — TPU scatters are slow.
     Rb = jnp.asarray(R, x.dtype)
     blocks = jnp.where(mask[:, None, None], Rb[None], jnp.eye(2, dtype=x.dtype))
     RR = (
-        jnp.zeros((max_nz, 2, max_nz, 2), x.dtype)
-        .at[jnp.arange(max_nz), :, jnp.arange(max_nz), :]
-        .set(blocks)
-        .reshape(m2, m2)
-    )
+        jnp.eye(max_nz, dtype=x.dtype)[:, None, :, None]
+        * blocks[:, :, None, :]
+    ).reshape(m2, m2)
     S = S + RR
     S = 0.5 * (S + S.T)  # symmetrize, ref ekf.jl:69
 
@@ -303,7 +302,8 @@ def add_features(state: EKFState, z, mask, R) -> EKFState:
     Rb = jnp.asarray(R, x.dtype)
     B = jnp.einsum("iok,kl,jpl->iojp", Gv, P33, Gv, precision=_HI)
     D = jnp.einsum("iok,kl,ipl->iop", Gz, Rb, Gz, precision=_HI)
-    B = B.at[jnp.arange(max_new), :, jnp.arange(max_new), :].add(D)
+    # Diagonal-block add via broadcast (eye * D), not scatter.
+    B = B + jnp.eye(max_new, dtype=x.dtype)[:, None, :, None] * D[:, :, None, :]
     B2 = B.reshape(2 * max_new, 2 * max_new)
 
     # Fold the symmetric pairwise block into the row panel (B2 = B2^T), so

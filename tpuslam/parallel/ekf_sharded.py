@@ -176,11 +176,9 @@ def update_shard(st: BlockEKFState, z, mask, idf, R, *, axis: str = "map"):
     Rb = jnp.asarray(R, dtype)
     blocks = jnp.where(mask[:, None, None], Rb[None], jnp.eye(2, dtype=dtype))
     RR = (
-        jnp.zeros((max_nz, 2, max_nz, 2), dtype)
-        .at[jnp.arange(max_nz), :, jnp.arange(max_nz), :]
-        .set(blocks)
-        .reshape(m2, m2)
-    )
+        jnp.eye(max_nz, dtype=dtype)[:, None, :, None]
+        * blocks[:, :, None, :]
+    ).reshape(m2, m2)
     S = S + RR
     S = 0.5 * (S + S.T)
 

@@ -92,13 +92,20 @@ def test_server_end_to_end():
                 assert inbounds(
                     np.array([seg["x1"], seg["y1"]]), cfg.scene.boundaries
                 )
-            # HTTP allowlist: index served, others 404.
+            # HTTP allowlist: index served, others 404.  (urlopen is
+            # synchronous — run in a thread so it doesn't block the event
+            # loop the server lives on.)
             import urllib.request
-            html = urllib.request.urlopen(
-                "http://127.0.0.1:8766/").read().decode()
+
+            def fetch(path):
+                return urllib.request.urlopen(
+                    f"http://127.0.0.1:8766{path}", timeout=10
+                ).read().decode()
+
+            html = await asyncio.to_thread(fetch, "/")
             assert "tpu-slam" in html
             with pytest.raises(Exception):
-                urllib.request.urlopen("http://127.0.0.1:8766/etc/passwd")
+                await asyncio.to_thread(fetch, "/etc/passwd")
 
             await send("pause")
             await send("reset")

@@ -27,32 +27,48 @@ def log(*a):
 
 
 def bench_closed_loop(cfg, landmarks, waypoints, n_epochs, key, dtype):
-    """Time a full jitted closed-loop run; returns (ticks/s, result)."""
+    """Time a full jitted closed-loop run; returns (ticks/s, result).
+
+    Measurement methodology (important on this TPU stack): the execution
+    path caches identical (executable, inputs) calls, and there is a fixed
+    per-dispatch overhead of tens of ms — so every timed call uses a FRESH
+    PRNG key and the rate is the MARGINAL cost between an n-epoch and a
+    3n-epoch run (cancels fixed overhead and compile).
+    """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
 
     wp = jnp.asarray(waypoints, dtype)
     lm = jnp.asarray(landmarks, dtype)
     st0 = init_sim_state(cfg, wp, dtype=dtype)
+    n2 = 3 * n_epochs
+
+    def run(n, seed):
+        t0 = time.time()
+        out = run_epochs_rng(cfg, wp, lm, st0, n, jax.random.key(seed))
+        jax.block_until_ready(out)
+        np.asarray(out[0].ekf.x[0])  # force a real transfer barrier
+        return time.time() - t0, out
 
     t0 = time.time()
-    out = jax.block_until_ready(
-        run_epochs_rng(cfg, wp, lm, st0, n_epochs, key)
-    )
+    run(n_epochs, 1000)
+    run(n2, 1001)
     t_compile = time.time() - t0
 
-    t0 = time.time()
-    out = jax.block_until_ready(
-        run_epochs_rng(cfg, wp, lm, st0, n_epochs, key)
-    )
-    dt = time.time() - t0
-    ticks = n_epochs * cfg.substeps_per_obs
-    log(f"  compile+run {t_compile:.1f}s; steady run {dt:.3f}s "
-        f"({ticks} ticks -> {ticks / dt:.0f} ticks/s, "
-        f"{n_epochs / dt:.1f} updates/s)")
-    return ticks / dt, out
+    runs_a = [run(n_epochs, s) for s in (1, 2)]
+    runs_b = [run(n2, s) for s in (3, 4)]
+    t_a = min(t for t, _ in runs_a)
+    t_b = min(t for t, _ in runs_b)
+    out_b = runs_b[-1][1]
+    per_epoch = (t_b - t_a) / (n2 - n_epochs)
+    rate = cfg.substeps_per_obs / per_epoch
+    log(f"  compile+warm {t_compile:.1f}s; {n_epochs}ep {t_a:.3f}s, "
+        f"{n2}ep {t_b:.3f}s -> {per_epoch * 1e3:.3f} ms/epoch, "
+        f"{rate:.0f} ticks/s, {1.0 / per_epoch:.1f} updates/s")
+    return rate, out_b
 
 
 def main():

@@ -85,14 +85,24 @@ def fused_epoch_apply(
     v, Hp, Hf, fpos = innovation_terms(st_pred_view, z, matched, idf)
     Hd = _dense_H(Hp, Hf, fpos, dim)                   # (m2, dim)
 
-    PHt0 = jnp.matmul(P, Hd.T, precision=_HI)          # THE P pass
-    UHt = Hd[:, :3].T                                  # (3, m2)
-    PHt = PHt0 + jnp.matmul(Z2.T, UHt, precision=_HI)
-    PHt = PHt.at[:3, :].add(
-        jnp.matmul(Z2, Hd.T, precision=_HI)
-    )
+    # THE P read pass: PHt0 and S0 fused in one stream over P (Pallas on
+    # TPU, two XLA matmuls elsewhere), then rank-3 predict corrections.
+    from tpuslam.kernels.dispatch import use_pallas
+    from tpuslam.kernels.pht_s import pht_and_s, pht_and_s_ref
 
-    S = jnp.matmul(Hd, PHt, precision=_HI)
+    if use_pallas():
+        PHt0, S0 = pht_and_s(P, Hd)
+    else:
+        PHt0, S0 = pht_and_s_ref(P, Hd)
+
+    UHt = Hd[:, :3].T                                  # (3, m2)
+    Z2Ht = jnp.matmul(Z2, Hd.T, precision=_HI)         # (3, m2)
+    PHt = PHt0 + jnp.matmul(Z2.T, UHt, precision=_HI)
+    PHt = PHt.at[:3, :].add(Z2Ht)
+
+    # S = Hd @ PHt decomposed: S0 + (Hd Z2^T) UHt + Hd[:, :3] Z2Ht.
+    S = S0 + jnp.matmul(Z2Ht.T, UHt, precision=_HI)
+    S = S + jnp.matmul(UHt.T, Z2Ht, precision=_HI)
     Rb = jnp.asarray(R, dtype)
     blocks = jnp.where(
         matched[:, None, None], Rb[None], jnp.eye(2, dtype=dtype)
@@ -158,10 +168,17 @@ def fused_epoch_apply(
     )
 
     # ---------------- the single symmetric rank-k application ----------------
+    from tpuslam.kernels.sym_rank_k import (
+        symmetric_rank_k_update,
+        symmetric_rank_k_update_ref,
+    )
+
     X = jnp.concatenate([U, E, W1.T], axis=0)          # (3 + 2m + m2, dim)
     Y = jnp.concatenate([Z2, A_aug, -0.5 * W1.T], axis=0)
-    Delta = jnp.matmul(X.T, Y, precision=_HI)          # (dim, dim)
-    P_new = P + Delta + Delta.T
+    if use_pallas():
+        P_new = symmetric_rank_k_update(P, X, Y)
+    else:
+        P_new = symmetric_rank_k_update_ref(P, X, Y)
 
     n_new = jnp.minimum(
         n + jnp.sum(mi, dtype=n.dtype), cap

@@ -47,20 +47,17 @@ def simulate_ba_problem(
         meas.append([c * d[0] + s * d[1], -s * d[0] + c * d[1], dphi])
     odo_meas = np.asarray(meas, dtype) + rng.standard_normal((K - 1, 3)) * sigma_odo
 
-    # Observation factors.
-    op, ol, oz = [], [], []
-    for k in range(K):
-        dx = tl[:, 0] - tp[k, 0]
-        dy = tl[:, 1] - tp[k, 1]
-        front = dx * np.cos(tp[k, 2]) + dy * np.sin(tp[k, 2]) > 0
-        vis = front & (dx**2 + dy**2 < sensor_range**2)
-        for j in np.nonzero(vis)[0]:
-            d = np.hypot(dx[j], dy[j])
-            b = np.arctan2(dy[j], dx[j]) - tp[k, 2]
-            op.append(k)
-            ol.append(j)
-            oz.append([d + rng.standard_normal() * sigma_obs[0],
-                       b + rng.standard_normal() * sigma_obs[1]])
+    # Observation factors via the native grid index (C++ with NumPy
+    # fallback, tpuslam/native): every (keyframe, landmark) pair within
+    # sensor acceptance, emitted keyframe-major / landmark-ascending.
+    from tpuslam.native import SpatialIndex
+
+    index = SpatialIndex(tl, cell_size=sensor_range)
+    budget = max_obs_factors or K * M
+    noise = rng.standard_normal((budget, 2))
+    op, ol, oz = index.ba_factors(
+        tp, sensor_range, noise, sigma_obs[0], sigma_obs[1], cap=budget
+    )
     Fz = len(op)
     cap = max_obs_factors or Fz
     obs_p = np.zeros(cap, np.int32)
@@ -70,7 +67,7 @@ def simulate_ba_problem(
     take = min(Fz, cap)
     obs_p[:take] = op[:take]
     obs_l[:take] = ol[:take]
-    obs_z[:take] = np.asarray(oz[:take], dtype)
+    obs_z[:take] = oz[:take]
     obs_mask[:take] = True
 
     # Noisy initial guesses.

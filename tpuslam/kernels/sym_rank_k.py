@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: symmetric block rank-k covariance update
+
+    P' = P + X^T Y + Y^T X,    P (dim, dim),  X, Y (k, dim) thin panels.
+
+This is the single op through which ALL of an epoch's covariance evolution
+flows in the fused EKF path (filters/ekf_fused.py: accumulated predict +
+Kalman downdate + augmentation panels).  The XLA formulation materializes
+Delta = X^T Y (one dim^2 buffer) plus a transposed read — ~4 full passes
+over HBM; this kernel streams P block-by-block through VMEM once, computing
+both small matmuls per tile on the MXU: 1 read + 1 write of P, panels
+resident.
+
+Also used by the sharded engine: each shard calls it on its local row block
+of Pmm with the corresponding panel slices (the update is elementwise in
+block rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = lax.Precision.HIGHEST
+
+
+def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
+    # out = P + Xi^T @ Yj + Yi^T @ Xj   for this (i, j) tile.
+    acc = jax.lax.dot_general(
+        xi_ref[:], yj_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+    acc = acc + jax.lax.dot_general(
+        yi_ref[:], xj_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+    out_ref[:] = p_ref[:] + acc
+
+
+def _pad_panels(X, Y):
+    """Pad the panel row count to a sublane multiple (zero rows are exact
+    no-ops in the rank-k sum)."""
+    k = X.shape[0]
+    k_pad = ((k + 7) // 8) * 8
+    if k_pad != k:
+        pad = ((0, k_pad - k), (0, 0))
+        X = jnp.pad(X, pad)
+        Y = jnp.pad(Y, pad)
+    return X, Y
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
+                            interpret: bool = False):
+    """P + X^T Y + Y^T X via one pass over P.  Shapes: P (dim, dim) f32;
+    X, Y (k, dim).  dim need not divide `block` (Mosaic masks edge tiles)."""
+    dim = P.shape[0]
+    X, Y = _pad_panels(X, Y)
+    k = X.shape[0]
+    nb = pl.cdiv(dim, block)
+
+    grid_spec = pl.GridSpec(
+        grid=(nb, nb),
+        in_specs=[
+            pl.BlockSpec((block, block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * dim * dim * k,
+            bytes_accessed=2 * dim * dim * 4 + 4 * k * dim * 4,
+            transcendentals=0,
+        ),
+    )(P, X, Y, Y, X)
+
+
+def symmetric_rank_k_update_ref(P, X, Y):
+    """Pure-XLA reference (used on CPU and for equivalence tests)."""
+    Delta = jnp.matmul(X.T, Y, precision=_HI)
+    return P + Delta + Delta.T

@@ -1,0 +1,160 @@
+"""ctypes bindings for the native (C++) host-side components, with a pure
+NumPy fallback when the shared library is unavailable.
+
+The native library lives in native/ at the repo root (built with `make -C
+native`); this wrapper builds it on demand the first time it is imported in
+an environment with a toolchain, and otherwise falls back transparently —
+every API here has identical NumPy semantics (asserted in
+tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libtpuslam_native.so")
+
+
+def _load():
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.tpuslam_grid_build.restype = ctypes.c_void_p
+    lib.tpuslam_grid_build.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double
+    ]
+    lib.tpuslam_grid_free.argtypes = [ctypes.c_void_p]
+    lib.tpuslam_grid_visible.restype = ctypes.c_int64
+    lib.tpuslam_grid_visible.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.tpuslam_ba_factors.restype = ctypes.c_int64
+    lib.tpuslam_ba_factors.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+    ]
+    return lib
+
+
+_LIB = _load()
+
+
+def native_available() -> bool:
+    return _LIB is not None
+
+
+class SpatialIndex:
+    """Uniform-grid index over (N, 2) landmark positions.
+
+    visible(pose, range) reproduces the reference sensor acceptance
+    (front half-plane AND in range, sim/sim-utils.jl:12-28), returning
+    ascending landmark indices.
+    """
+
+    def __init__(self, points, cell_size: float | None = None):
+        self.points = np.ascontiguousarray(points, dtype=np.float64)
+        assert self.points.ndim == 2 and self.points.shape[1] == 2
+        self.cell_size = float(cell_size or 30.0)
+        self._handle = None
+        if _LIB is not None:
+            self._handle = _LIB.tpuslam_grid_build(
+                self.points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(self.points), self.cell_size,
+            )
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and _LIB is not None:
+            _LIB.tpuslam_grid_free(self._handle)
+            self._handle = None
+
+    def visible(self, pose, sensor_range: float) -> np.ndarray:
+        px, py, phi = float(pose[0]), float(pose[1]), float(pose[2])
+        if self._handle is not None:
+            cap = len(self.points)
+            out = np.empty(cap, dtype=np.int64)
+            m = _LIB.tpuslam_grid_visible(
+                self._handle, px, py, phi, float(sensor_range),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap,
+            )
+            return out[: min(m, cap)].copy()
+        # NumPy fallback — identical semantics.
+        dx = self.points[:, 0] - px
+        dy = self.points[:, 1] - py
+        vis = (dx * np.cos(phi) + dy * np.sin(phi) > 0) & (
+            dx * dx + dy * dy < sensor_range**2
+        )
+        return np.nonzero(vis)[0].astype(np.int64)
+
+    def ba_factors(self, poses, sensor_range: float, noise=None,
+                   sigma_r: float = 0.0, sigma_b: float = 0.0,
+                   cap: int | None = None):
+        """Batch observation-factor generation for the BA keyframe builder.
+
+        poses: (K, 3).  noise: optional (cap, 2) standard normals applied as
+        [sigma_r, sigma_b]-scaled additive noise in factor-emission order.
+        Returns (pose_idx (F,), lm_idx (F,), z (F, 2)).
+        """
+        poses = np.ascontiguousarray(poses, dtype=np.float64)
+        K = len(poses)
+        cap = int(cap if cap is not None else K * len(self.points))
+        if self._handle is not None:
+            out_p = np.empty(cap, np.int32)
+            out_l = np.empty(cap, np.int32)
+            out_z = np.empty((cap, 2), np.float64)
+            nz = (np.ascontiguousarray(noise, np.float64)
+                  if noise is not None else None)
+            f = _LIB.tpuslam_ba_factors(
+                self._handle,
+                poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                K, float(sensor_range),
+                (nz.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+                 if nz is not None else None),
+                float(sigma_r), float(sigma_b),
+                out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_z.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cap,
+            )
+            return out_p[:f].copy(), out_l[:f].copy(), out_z[:f].copy()
+        # NumPy fallback.
+        ps, ls, zs = [], [], []
+        f = 0
+        for k in range(K):
+            ids = self.visible(poses[k], sensor_range)
+            for i in ids:
+                if f >= cap:
+                    break
+                dx = self.points[i, 0] - poses[k, 0]
+                dy = self.points[i, 1] - poses[k, 1]
+                r = np.hypot(dx, dy)
+                b = np.arctan2(dy, dx) - poses[k, 2]
+                if noise is not None:
+                    r += noise[f, 0] * sigma_r
+                    b += noise[f, 1] * sigma_b
+                ps.append(k)
+                ls.append(i)
+                zs.append([r, b])
+                f += 1
+        return (np.asarray(ps, np.int32), np.asarray(ls, np.int32),
+                np.asarray(zs, np.float64).reshape(-1, 2))

@@ -118,6 +118,25 @@ def main():
     )
     log(f"  landmarks mapped: {int(st2.ekf.n)}")
 
+    # --- Config 3: FastSLAM, 100 particles on course1.
+    from tpuslam.bench.harness import fastslam_throughput
+
+    n_ep3 = 20 if args.quick else 60
+    pf_rate, pf_ms = fastslam_throughput(cfg1, wp1, lm1, 100, n_ep3)
+    log(f"[fastslam-100p] {pf_ms:.2f} ms/epoch -> {pf_rate:.0f} ticks/s")
+
+    if not args.quick:
+        from tpuslam.bench.harness import landmark_sweep, monte_carlo_nees
+
+        log("[landmark sweep]")
+        for row in landmark_sweep(caps=(64, 256, 1024), n_epochs=30):
+            log(f"  cap {row['capacity']:5d}: "
+                f"{row['ms_per_epoch']:.3f} ms/epoch, "
+                f"{row['updates_per_s']:.0f} updates/s")
+        nees, _ = monte_carlo_nees(cfg1, wp1, lm1, n_runs=10, n_epochs=30)
+        log(f"[NEES] mean position NEES over 10 runs: {nees:.2f} "
+            f"(consistent ~ 2)")
+
     healthy = bool(np.isfinite(ate) and ate < 5.0)
     value = rate2 if healthy else 0.0
     print(json.dumps({

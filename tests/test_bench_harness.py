@@ -1,0 +1,52 @@
+"""Benchmark-harness smoke tests (tiny configs, CPU)."""
+
+import numpy as np
+
+from tpuslam.bench.harness import (
+    fastslam_throughput,
+    monte_carlo_nees,
+    sharded_scaling,
+)
+from tpuslam.bench.metrics import ate_rmse, pose_nees
+from tpuslam.config import course1_config
+from tpuslam.sim.scene import load_course, make_landmarks
+
+
+def test_metrics_basic():
+    t = np.zeros((5, 3))
+    s = np.zeros((5, 3))
+    s[:, 0] = 0.3
+    np.testing.assert_allclose(ate_rmse(s, t), 0.3, rtol=1e-6)
+    P = np.tile(np.eye(3) * 0.09, (5, 1, 1))
+    nees = pose_nees(s, t, P)
+    np.testing.assert_allclose(nees, 1.0, rtol=1e-6)
+
+
+def test_monte_carlo_nees_reasonable():
+    cfg = course1_config(n_landmarks=12, capacity=16, max_obs=12)
+    wp = load_course()
+    lm = make_landmarks(cfg.scene, seed=5)
+    nees, vals = monte_carlo_nees(cfg, wp, lm, n_runs=8, n_epochs=25)
+    assert len(vals) == 8
+    # Chi-square(2): generous envelope — catches gross inconsistency
+    # (NEES >> 2 means overconfident covariance, << means pessimistic).
+    assert 0.1 < nees < 12.0
+
+
+def test_fastslam_throughput_runs():
+    cfg = course1_config(n_landmarks=8, capacity=16, max_obs=8)
+    wp = load_course()
+    lm = make_landmarks(cfg.scene, seed=5)
+    rate, ms = fastslam_throughput(cfg, wp, lm, 20, 5)
+    assert rate > 0 and np.isfinite(ms)
+
+
+def test_sharded_scaling_rows():
+    cfg = course1_config(n_landmarks=8, capacity=16, max_obs=8)
+    wp = load_course()
+    lm = make_landmarks(cfg.scene, seed=5)
+    rows = sharded_scaling(cfg, wp, lm, map_sizes=(1, 2), n_epochs=4)
+    assert len(rows) == 2
+    # Marginal timings can be noisy at toy sizes; require finiteness.
+    assert all(np.isfinite(r["ms_per_epoch"]) for r in rows)
+    assert "efficiency" in rows[1]

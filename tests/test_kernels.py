@@ -33,3 +33,21 @@ def test_pht_s_matches_ref(rng, dim, m2, block):
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("R,C,k", [(128, 256, 16), (200, 515, 67)])
+def test_rank_k_rect_matches_ref(rng, R, C, k):
+    from tpuslam.kernels.sym_rank_k import (
+        rank_k_update_rect,
+        rank_k_update_rect_ref,
+    )
+
+    P = jnp.asarray(rng.standard_normal((R, C)), jnp.float32)
+    Xr = jnp.asarray(rng.standard_normal((k, R)), jnp.float32)
+    Yr = jnp.asarray(rng.standard_normal((k, R)), jnp.float32)
+    Xc = jnp.asarray(rng.standard_normal((k, C)), jnp.float32)
+    Yc = jnp.asarray(rng.standard_normal((k, C)), jnp.float32)
+    want = rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc)
+    got = rank_k_update_rect(P, Xr, Yr, Xc, Yc, block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

@@ -1,0 +1,178 @@
+"""Benchmark harness: the measurements BASELINE.json requires.
+
+  * closed-loop throughput (ticks/s, updates/s) vs landmark count
+  * FastSLAM particle-filter throughput (config 3)
+  * ATE on course1 (config 1) — bench.py's health gate
+  * Monte-Carlo NEES consistency
+  * sharded scaling (per-epoch time vs map-axis size on a mesh)
+
+All timings use marginal two-size differencing with fresh PRNG keys per
+call (this stack caches identical dispatches and has tens-of-ms fixed
+dispatch overhead — see bench.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _marginal_time(run, n1, n2, *, warm_seeds=(1000, 1001),
+                   seeds=((1, 2), (3, 4))):
+    """min-of-2 marginal seconds-per-unit between run(n1) and run(n2)."""
+    run(n1, warm_seeds[0])
+    run(n2, warm_seeds[1])
+
+    def best(n, ss):
+        ts = []
+        for s in ss:
+            t0 = time.time()
+            run(n, s)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t1 = best(n1, seeds[0])
+    t2 = best(n2, seeds[1])
+    return (t2 - t1) / (n2 - n1)
+
+
+def ekf_throughput(cfg, waypoints, landmarks, n_epochs, dtype=None):
+    """Closed-loop EKF-SLAM: returns (ticks/s, updates/s, ms/epoch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
+
+    dtype = dtype or jnp.float32
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+    st0 = init_sim_state(cfg, wp, dtype=dtype)
+
+    def run(n, seed):
+        out = run_epochs_rng(cfg, wp, lm, st0, n, jax.random.key(seed))
+        jax.block_until_ready(out)
+        np.asarray(out[0].ekf.x[0])
+
+    per_epoch = _marginal_time(run, n_epochs, 3 * n_epochs)
+    return (cfg.substeps_per_obs / per_epoch, 1.0 / per_epoch,
+            per_epoch * 1e3)
+
+
+def fastslam_throughput(cfg, waypoints, landmarks, n_particles, n_epochs,
+                        dtype=None):
+    """FastSLAM RBPF closed loop: returns (ticks/s, ms/epoch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.sim.pf_simulator import init_pf_sim_state, run_epochs_pf
+
+    dtype = dtype or jnp.float32
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+    st0 = init_pf_sim_state(cfg, wp, n_particles, jax.random.key(0),
+                            dtype=dtype)
+
+    def run(n, seed):
+        out = run_epochs_pf(cfg, wp, lm, st0, n, jax.random.key(seed))
+        jax.block_until_ready(out)
+        np.asarray(out[0].pf.poses[0, 0])
+
+    per_epoch = _marginal_time(run, n_epochs, 3 * n_epochs)
+    return cfg.substeps_per_obs / per_epoch, per_epoch * 1e3
+
+
+def landmark_sweep(caps=(64, 256, 1024), n_epochs=30, extent_per_cap=0.4):
+    """updates/s and ticks/s vs landmark count (BASELINE metric set).
+
+    Scene area scales with capacity to keep the visible-landmark count
+    (and max_obs) roughly constant."""
+    from tpuslam.config import SceneConfig, SimConfig
+    from tpuslam.sim.scene import make_grid_course, make_landmarks
+
+    rows = []
+    for cap in caps:
+        extent = max(200.0, extent_per_cap * cap)
+        scene = SceneConfig(
+            xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
+            n_landmarks=cap, legacy_integer_landmarks=False,
+        )
+        cfg = SimConfig(scene=scene, capacity=cap, max_obs=32)
+        wp = make_grid_course(extent, 5)
+        lm = make_landmarks(scene, seed=4)
+        ticks, upd, ms = ekf_throughput(cfg, wp, lm, n_epochs)
+        rows.append({"capacity": cap, "ticks_per_s": ticks,
+                     "updates_per_s": upd, "ms_per_epoch": ms})
+    return rows
+
+
+def monte_carlo_nees(cfg, waypoints, landmarks, n_runs=20, n_epochs=30,
+                     dtype=None, seed0=0):
+    """Mean position NEES over Monte-Carlo runs at the final step.
+
+    For a consistent filter E[NEES] == 2 (xy).  The filter starts at the
+    true pose (ref ekfslam-sim.jl:42), so NEES is evaluated after enough
+    epochs for covariance to develop."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
+
+    dtype = dtype or jnp.float32
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+    st0 = init_sim_state(cfg, wp, dtype=dtype)
+
+    vals = []
+    for r in range(n_runs):
+        st, recs = run_epochs_rng(cfg, wp, lm, st0, n_epochs,
+                                  jax.random.key(seed0 + r))
+        e = (np.asarray(st.ekf.x[:2])
+             - np.asarray(st.vehicle.pose[:2]))
+        Pp = np.asarray(st.ekf.P[:2, :2])
+        vals.append(float(e @ np.linalg.solve(Pp, e)))
+    return float(np.mean(vals)), np.asarray(vals)
+
+
+def sharded_scaling(cfg, waypoints, landmarks, map_sizes=(1, 2, 4, 8),
+                    n_epochs=20, dtype=None):
+    """Per-epoch time of the sharded closed loop vs 'map' axis size.
+
+    On a real pod slice this measures ICI scaling of the Schur collectives;
+    on the virtual CPU mesh it validates the code path and gives a
+    same-host proxy."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.parallel.mesh import make_slam_mesh
+    from tpuslam.parallel.sim_sharded import (
+        init_sharded_sim_state,
+        make_sharded_run_rng,
+    )
+
+    dtype = dtype or jnp.float32
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+
+    rows = []
+    for n_map in map_sizes:
+        if len(jax.devices()) < n_map or cfg.capacity % n_map:
+            continue
+        mesh = make_slam_mesh(n_map=n_map)
+        runner = make_sharded_run_rng(cfg, mesh, n_epochs)
+        runner3 = make_sharded_run_rng(cfg, mesh, 3 * n_epochs)
+        st0 = init_sharded_sim_state(cfg, wp, dtype=dtype)
+
+        def run(n, seed, _r={n_epochs: runner, 3 * n_epochs: runner3}):
+            out = _r[n](wp, lm, st0, jax.random.key(seed))
+            jax.block_until_ready(out)
+            np.asarray(out[0].ekf.pose[0])
+
+        per_epoch = _marginal_time(run, n_epochs, 3 * n_epochs)
+        rows.append({"n_map": n_map, "ms_per_epoch": per_epoch * 1e3})
+    if rows:
+        base = rows[0]["ms_per_epoch"]
+        for r in rows:
+            r["efficiency"] = base / (r["ms_per_epoch"] * r["n_map"] /
+                                      rows[0]["n_map"])
+    return rows

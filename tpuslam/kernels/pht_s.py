@@ -4,12 +4,15 @@
     S0  = Hd @ PHt            (m2, m2)
 
 in ONE streaming pass over P (the XLA formulation runs two dependent
-matmuls, each re-reading P-sized data).  The grid walks row blocks of P;
-each step emits its PHt rows and accumulates its contribution to S0 in a
-VMEM scratch, flushed on the last step.
+matmuls, each re-reading P-sized data).  The grid tiles P in 2-D
+(row-major, columns inner): each row band accumulates its PHt rows across
+column tiles in VMEM scratch; when a band completes, its PHt rows are
+emitted and folded into the S0 accumulator, flushed on the last band.
+2-D tiling keeps VMEM usage independent of dim (the 1-D full-width-row
+variant ran out of VMEM beyond dim ~4k).
 
 Hd is the densified sparse observation Jacobian (filters/ekf.py:_dense_H);
-m2 = 2 * max_nz is small (<= a few hundred), so Hd and S0 live in VMEM.
+m2 = 2 * max_nz is small, so Hd tiles and S0 live comfortably in VMEM.
 """
 
 from __future__ import annotations
@@ -26,43 +29,53 @@ _HI = lax.Precision.HIGHEST
 
 
 def _make_kernel(dim: int, block: int):
-    def kernel(p_ref, hdT_ref, hdcols_ref, pht_ref, s_ref, acc_ref):
+    def kernel(p_ref, hdT_ref, hdcols_ref, pht_ref, s_ref,
+               acc_pht_ref, acc_s_ref):
         i = pl.program_id(0)
-        nb = pl.num_programs(0)
+        j = pl.program_id(1)
+        nb_r = pl.num_programs(0)
+        nb_c = pl.num_programs(1)
 
-        pht = jax.lax.dot_general(
-            p_ref[:], hdT_ref[:],
+        @pl.when(j == 0)
+        def _():
+            acc_pht_ref[:] = jnp.zeros_like(acc_pht_ref)
+
+        # Mask ragged tiles: padded P columns / Hd^T rows are garbage —
+        # zero BOTH sides so padded products vanish.
+        col = j * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        p_m = jnp.where(col < dim, p_ref[:], 0.0)
+        hdT_m = jnp.where(col.T < dim, hdT_ref[:], 0.0)
+        acc_pht_ref[:] += jax.lax.dot_general(
+            p_m, hdT_m,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_HI,
-        )                                          # (block, m2)
-        pht_ref[:] = pht
-
-        @pl.when(i == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        # Mask the ragged last block: padded P rows AND padded Hd columns
-        # are garbage (NaN in interpret mode) — zero both sides so the
-        # padded products vanish instead of poisoning the S accumulation.
-        row = i * block + jax.lax.broadcasted_iota(
-            jnp.int32, (block, 1), 0
         )
-        pht_m = jnp.where(row < dim, pht, 0.0)
-        col = i * block + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block), 1
-        )
-        hdcols_m = jnp.where(col < dim, hdcols_ref[:], 0.0)
-        acc_ref[:] += jax.lax.dot_general(
-            hdcols_m, pht_m,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI,
-        )                                          # (m2, m2)
 
-        @pl.when(i == nb - 1)
+        @pl.when(j == nb_c - 1)
         def _():
-            s_ref[:] = acc_ref[:]
+            pht = acc_pht_ref[:]
+            pht_ref[:] = pht
+
+            @pl.when(i == 0)
+            def _():
+                acc_s_ref[:] = jnp.zeros_like(acc_s_ref)
+
+            row = i * block + jax.lax.broadcasted_iota(
+                jnp.int32, (block, 1), 0
+            )
+            pht_m = jnp.where(row < dim, pht, 0.0)
+            hdc_m = jnp.where(row.T < dim, hdcols_ref[:], 0.0)
+            acc_s_ref[:] += jax.lax.dot_general(
+                hdc_m, pht_m,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HI,
+            )
+
+            @pl.when(i == nb_r - 1)
+            def _():
+                s_ref[:] = acc_s_ref[:]
 
     return kernel
 
@@ -80,22 +93,25 @@ def pht_and_s(P, Hd, *, block: int = 512, interpret: bool = False):
             jax.ShapeDtypeStruct((dim, m2), P.dtype),
             jax.ShapeDtypeStruct((m2, m2), P.dtype),
         ],
-        grid=(nb,),
+        grid=(nb, nb),
         in_specs=[
-            pl.BlockSpec((block, dim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),      # P row block
-            pl.BlockSpec((dim, m2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # Hd^T (resident)
-            pl.BlockSpec((m2, block), lambda i: (0, i),
+            pl.BlockSpec((block, block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),      # P tile
+            pl.BlockSpec((block, m2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),      # Hd^T row band
+            pl.BlockSpec((m2, block), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),      # Hd column slice
         ],
         out_specs=[
-            pl.BlockSpec((block, m2), lambda i: (i, 0),
+            pl.BlockSpec((block, m2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, m2), lambda i: (0, 0),
+            pl.BlockSpec((m2, m2), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((m2, m2), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block, m2), jnp.float32),
+            pltpu.VMEM((m2, m2), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * dim * dim * m2 + 2 * dim * m2 * m2,

@@ -58,28 +58,35 @@ def _pad_panels(X, Y):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
-                            interpret: bool = False):
-    """P + X^T Y + Y^T X via one pass over P.  Shapes: P (dim, dim) f32;
-    X, Y (k, dim).  dim need not divide `block` (Mosaic masks edge tiles)."""
-    dim = P.shape[0]
-    X, Y = _pad_panels(X, Y)
-    k = X.shape[0]
-    nb = pl.cdiv(dim, block)
+def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
+                       interpret: bool = False):
+    """Rectangular form:  P + Xr^T Yc + Yr^T Xc  in one pass over P.
+
+    Shapes: P (R, C); Xr, Yr (k, R) row-side panels; Xc, Yc (k, C)
+    column-side panels.  This is the per-shard op of the distributed
+    engine: each shard updates its row block of the landmark covariance
+    with its panel row-slices against the full column panels.
+    """
+    R, C = P.shape
+    Xr, Yr = _pad_panels(Xr, Yr)
+    Xc, Yc = _pad_panels(Xc, Yc)
+    k = Xr.shape[0]
+    nbr = pl.cdiv(R, block)
+    nbc = pl.cdiv(C, block)
 
     grid_spec = pl.GridSpec(
-        grid=(nb, nb),
+        grid=(nbr, nbc),
         in_specs=[
             pl.BlockSpec((block, block), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, block), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),      # Xr tile (rows)
             pl.BlockSpec((k, block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),      # Yc tile (cols)
             pl.BlockSpec((k, block), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),      # Yr tile (rows)
             pl.BlockSpec((k, block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),      # Xc tile (cols)
         ],
         out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
@@ -90,11 +97,24 @@ def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * dim * dim * k,
-            bytes_accessed=2 * dim * dim * 4 + 4 * k * dim * 4,
+            flops=4 * R * C * k,
+            bytes_accessed=2 * R * C * 4 + 2 * k * (R + C) * 4,
             transcendentals=0,
         ),
-    )(P, X, Y, Y, X)
+    )(P, Xr, Yc, Yr, Xc)
+
+
+def rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc):
+    return (P + jnp.matmul(Xr.T, Yc, precision=_HI)
+            + jnp.matmul(Yr.T, Xc, precision=_HI))
+
+
+def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
+                            interpret: bool = False):
+    """P + X^T Y + Y^T X via one pass over P.  Shapes: P (dim, dim) f32;
+    X, Y (k, dim).  dim need not divide `block` (Mosaic masks edge tiles)."""
+    return rank_k_update_rect(P, X, Y, X, Y, block=block,
+                              interpret=interpret)
 
 
 def symmetric_rank_k_update_ref(P, X, Y):

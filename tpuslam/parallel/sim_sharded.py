@@ -126,23 +126,58 @@ def control_tick_shard(cfg: SimConfig, waypoints, st: ShardedSimState,
 
 def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
                 *, axis: str = "map"):
+    """Fused-epoch sharded observation cycle (mirrors sim.simulator.epoch):
+    accumulated predict + association on the predicted state + one
+    rectangular rank-k application to the local Pmm block
+    (parallel/ekf_fused_sharded.py)."""
+    from tpuslam.filters.ekf import (
+        predict_accumulate,
+        predict_accumulator_init,
+    )
+    from tpuslam.parallel.ekf_fused_sharded import (
+        associate_pred_shard,
+        fused_epoch_apply_shard,
+    )
+
     ctrl_noise, obs_noise = noises
-    n_sub = cfg.substeps_per_obs
-    st, recs = lax.scan(
-        lambda s, nz: control_tick_shard(cfg, waypoints, s, nz),
-        st,
-        ctrl_noise[: n_sub - 1],
+    dtype = st.ekf.pose.dtype
+    Q = jnp.diag(jnp.asarray(cfg.noise.Q, dtype))
+
+    def tick(carry, nz):
+        veh, acc = carry
+        veh2, v_m, g_m, active = vehicle_tick(cfg, waypoints, veh, nz)
+        acc2 = predict_accumulate(
+            acc, v_m, g_m, cfg.vehicle.wheelbase, Q, cfg.dt
+        )
+        veh_out, acc_out = tree_select(active, (veh2, acc2), (veh, acc))
+        rec = TickRecord(
+            true_pose=veh_out.pose, slam_pose=acc_out[0], active=active
+        )
+        return (veh_out, acc_out), rec
+
+    acc0 = predict_accumulator_init(st.ekf.pose)
+    (veh, (pose_pred, Gt, Qacc)), recs = lax.scan(
+        tick, (st.vehicle, acc0), ctrl_noise
     )
-    tick9_active = st.vehicle.waypoint_id != -1
-    st, last_rec = control_tick_shard(cfg, waypoints, st, ctrl_noise[n_sub - 1])
-    st = observation_step_shard(cfg, landmarks, st, obs_noise, tick9_active,
-                                axis=axis)
-    last_rec = TickRecord(
-        true_pose=st.vehicle.pose, slam_pose=st.ekf.pose,
-        active=last_rec.active,
+    tick9_active = recs.active[-1]
+
+    R = jnp.diag(jnp.asarray(cfg.noise.R, dtype))
+    z, z_mask, _ = get_observations(
+        veh.pose, landmarks, cfg.vehicle.sensor_range, obs_noise, cfg.max_obs
     )
-    recs = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b[None]], axis=0), recs, last_rec
+    idf, matched, new = associate_pred_shard(
+        st.ekf, pose_pred, Gt, Qacc, z, z_mask, R,
+        cfg.gate_assoc, cfg.gate_newfeat, axis=axis,
+    )
+    ekf = fused_epoch_apply_shard(
+        st.ekf, pose_pred, Gt, Qacc, z, matched, new, idf, R, tick9_active,
+        axis=axis,
+    )
+    st = ShardedSimState(veh, ekf)
+    recs = TickRecord(
+        true_pose=recs.true_pose,
+        slam_pose=recs.slam_pose.at[-1].set(ekf.pose),
+        active=recs.active,
     )
     return st, recs
 

@@ -81,3 +81,30 @@ def test_sharded_run_two_axis_mesh(setup):
     )
     assert np.isfinite(np.asarray(to_dense(st_s.ekf).P)).all()
     assert int(st_s.ekf.n) > 0
+
+
+def test_ring_panel_exchange_matches_allgather(setup):
+    """The ring-ppermute gain-panel circulation must equal the all_gather
+    formulation (same per-element contractions, different exchange)."""
+    cfg, waypoints, landmarks, noises = setup
+    wp = jnp.asarray(waypoints, jnp.float64)
+    lm = jnp.asarray(landmarks, jnp.float64)
+    nz = tuple(jnp.asarray(n, jnp.float64) for n in noises)
+    mesh = make_slam_mesh(n_map=8)
+    st0 = init_sharded_sim_state(cfg, wp, dtype=jnp.float64)
+
+    run_ag = make_sharded_run(cfg, mesh, panel_exchange="allgather")
+    run_ring = make_sharded_run(cfg, mesh, panel_exchange="ring")
+    st_a, recs_a = run_ag(wp, lm, st0, nz)
+    st_r, recs_r = run_ring(wp, lm, st0, nz)
+
+    np.testing.assert_allclose(
+        np.asarray(recs_r.slam_pose), np.asarray(recs_a.slam_pose),
+        atol=1e-9,
+    )
+    da, dr = to_dense(st_a.ekf), to_dense(st_r.ekf)
+    assert int(da.n) == int(dr.n)
+    np.testing.assert_allclose(np.asarray(dr.x), np.asarray(da.x),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dr.P), np.asarray(da.P),
+                               atol=1e-9)

@@ -81,10 +81,77 @@ def associate_pred_shard(st: BlockEKFState, pose_pred, Gt, Qacc, z, z_mask,
     return decide(scores[0], scores[1], z_mask, gate1, gate2)
 
 
+def _ring_panel_update(Pmm_local, W1_m_local, Em, A_aug, row0, rows_local,
+                       rect, axis):
+    """Ring-ppermute gain-panel circulation (never materializes the full
+    (2cap, m2) panel): at step t the panel that started on shard
+    c = (b - t) mod D arrives here, and we update OUR rows' columns of
+    block c with the combined augment + downdate rank-k — the blockwise
+    ring structure of ring attention applied to the covariance downdate.
+    """
+    D = lax.axis_size(axis)
+    b = lax.axis_index(axis)
+    k = Em.shape[0]
+
+    # Row-side panels for OUR rows are fixed across steps.
+    Xr = jnp.concatenate(
+        [
+            lax.dynamic_slice(Em, (jnp.zeros_like(row0), row0),
+                              (k, rows_local)),
+            W1_m_local.T,
+        ],
+        axis=0,
+    )
+    Yr = jnp.concatenate(
+        [
+            lax.dynamic_slice(A_aug, (jnp.zeros_like(row0), row0),
+                              (k, rows_local)),
+            -0.5 * W1_m_local.T,
+        ],
+        axis=0,
+    )
+    perm = [(i, (i + 1) % D) for i in range(D)]
+
+    def step(t, carry):
+        Pmm, visiting = carry
+        c = (b - t) % D
+        col0 = c * rows_local
+        Em_c = lax.dynamic_slice(Em, (jnp.zeros_like(col0), col0),
+                                 (k, rows_local))
+        Aa_c = lax.dynamic_slice(A_aug, (jnp.zeros_like(col0), col0),
+                                 (k, rows_local))
+        Xc = jnp.concatenate([Em_c, visiting.T], axis=0)
+        Yc = jnp.concatenate([Aa_c, -0.5 * visiting.T], axis=0)
+        block = lax.dynamic_slice(
+            Pmm, (jnp.zeros_like(col0), col0), (rows_local, rows_local)
+        )
+        block = rect(block, Xr, Yr, Xc, Yc)
+        Pmm = lax.dynamic_update_slice(
+            Pmm, block, (jnp.zeros_like(col0), col0)
+        )
+        visiting = lax.ppermute(visiting, axis, perm)
+        return Pmm, visiting
+
+    Pmm, _ = lax.fori_loop(0, D, step, (Pmm_local, W1_m_local))
+    return Pmm
+
+
 def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
                             z, matched, new, idf, R, upd_active,
-                            *, axis: str = "map"):
-    """Apply one epoch's predict + update + augment to the sharded state."""
+                            *, axis: str = "map",
+                            panel_exchange: str = "allgather"):
+    """Apply one epoch's predict + update + augment to the sharded state.
+
+    panel_exchange:
+      'allgather' — ONE all_gather materializes the full (2cap, m2) gain
+        panel, then one rectangular rank-k pass over the local Pmm block.
+      'ring'      — the gain panel is never materialized: panels rotate
+        around the mesh ring via ppermute and each shard updates one
+        column block of its Pmm rows per step (the ring-attention pattern
+        applied to covariance algebra, SURVEY.md section 5).  Total bytes
+        moved match the all_gather, but peak panel memory is 1/D and each
+        step's ppermute overlaps the previous block's compute.
+    """
     dtype = st.pose.dtype
     cap = st.fm.shape[0]
     cap2 = 2 * cap
@@ -150,17 +217,34 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     S = S + C + RR
     S = 0.5 * (S + S.T)
 
-    # ---- gain panels + the ONE all_gather.
+    # ---- gain panels.
     L = jnp.linalg.cholesky(S)
     W1_p = solve_triangular(L, PHt_p.T, lower=True).T * actf
     W1_m_local = solve_triangular(L, PHt_m.T, lower=True).T * actf
-    W1_m = lax.all_gather(W1_m_local, axis, axis=0, tiled=True)  # (cap2, m2)
     u = solve_triangular(L, v.reshape(m2), lower=True)
 
+    if panel_exchange == "allgather":
+        W1_m = lax.all_gather(W1_m_local, axis, axis=0,
+                              tiled=True)                  # (cap2, m2)
+        fm_delta = jnp.matmul(W1_m, u, precision=_HI)
+        Ppm_delta = jnp.matmul(W1_p, W1_m.T, precision=_HI)
+    else:
+        # Ring mode: only O(rows_local) pieces cross shards here; the big
+        # panel circulates later via ppermute.
+        W1_m = None
+        fm_delta = lax.all_gather(
+            jnp.matmul(W1_m_local, u, precision=_HI), axis, axis=0,
+            tiled=True,
+        )
+        Ppm_delta = lax.all_gather(
+            jnp.matmul(W1_p, W1_m_local.T, precision=_HI), axis, axis=1,
+            tiled=True,
+        )
+
     pose_upd = pose_pred + jnp.matmul(W1_p, u, precision=_HI)
-    fm_upd = st.fm + jnp.matmul(W1_m, u, precision=_HI).reshape(cap, 2)
+    fm_upd = st.fm + fm_delta.reshape(cap, 2)
     P33_upd = P33_pred - jnp.matmul(W1_p, W1_p.T, precision=_HI)
-    Ppm_upd = Ppm_pred - jnp.matmul(W1_p, W1_m.T, precision=_HI)
+    Ppm_upd = Ppm_pred - Ppm_delta
 
     # ---- augmentation panels (replicated math; map-coordinate one-hots).
     mi = new.astype(jnp.int32)
@@ -202,18 +286,22 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     A_aug = A2 + 0.5 * jnp.matmul(B.reshape(m2, m2), Em, precision=_HI)
 
     # ---- the per-shard rectangular rank-k application.
-    Xm = jnp.concatenate([Em, W1_m.T], axis=0)            # (2*m2, cap2)
-    Ym = jnp.concatenate([A_aug, -0.5 * W1_m.T], axis=0)
-    Xr = lax.dynamic_slice(
-        Xm, (jnp.zeros_like(row0), row0), (Xm.shape[0], rows_local)
-    )
-    Yr = lax.dynamic_slice(
-        Ym, (jnp.zeros_like(row0), row0), (Ym.shape[0], rows_local)
-    )
-    if use_pallas():
-        Pmm_new = rank_k_update_rect(st.Pmm, Xr, Yr, Xm, Ym)
+    rect = rank_k_update_rect if use_pallas() else rank_k_update_rect_ref
+
+    if panel_exchange == "allgather":
+        Xm = jnp.concatenate([Em, W1_m.T], axis=0)        # (2*m2, cap2)
+        Ym = jnp.concatenate([A_aug, -0.5 * W1_m.T], axis=0)
+        Xr = lax.dynamic_slice(
+            Xm, (jnp.zeros_like(row0), row0), (Xm.shape[0], rows_local)
+        )
+        Yr = lax.dynamic_slice(
+            Ym, (jnp.zeros_like(row0), row0), (Ym.shape[0], rows_local)
+        )
+        Pmm_new = rect(st.Pmm, Xr, Yr, Xm, Ym)
     else:
-        Pmm_new = rank_k_update_rect_ref(st.Pmm, Xr, Yr, Xm, Ym)
+        Pmm_new = _ring_panel_update(
+            st.Pmm, W1_m_local, Em, A_aug, row0, rows_local, rect, axis
+        )
 
     n_new = jnp.minimum(
         st.n + jnp.sum(mi, dtype=st.n.dtype), cap

@@ -125,7 +125,7 @@ def control_tick_shard(cfg: SimConfig, waypoints, st: ShardedSimState,
 
 
 def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
-                *, axis: str = "map"):
+                *, axis: str = "map", panel_exchange: str = "allgather"):
     """Fused-epoch sharded observation cycle (mirrors sim.simulator.epoch):
     accumulated predict + association on the predicted state + one
     rectangular rank-k application to the local Pmm block
@@ -171,7 +171,7 @@ def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
     )
     ekf = fused_epoch_apply_shard(
         st.ekf, pose_pred, Gt, Qacc, z, matched, new, idf, R, tick9_active,
-        axis=axis,
+        axis=axis, panel_exchange=panel_exchange,
     )
     st = ShardedSimState(veh, ekf)
     recs = TickRecord(
@@ -182,14 +182,16 @@ def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
     return st, recs
 
 
-def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map"):
+def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map",
+                     panel_exchange: str = "allgather"):
     """Whole-run scan (array-noise mode) inside one shard_map."""
     sp = sim_state_specs(axis)
 
     def run(waypoints, landmarks, st0, noises):
         return lax.scan(
             lambda s, nz: epoch_shard(cfg, waypoints, landmarks, s, nz,
-                                      axis=axis),
+                                      axis=axis,
+                                      panel_exchange=panel_exchange),
             st0, noises,
         )
 

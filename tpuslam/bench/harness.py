@@ -13,28 +13,16 @@ dispatch overhead — see bench.py).
 
 from __future__ import annotations
 
-import time
+
 
 import numpy as np
 
 
-def _marginal_time(run, n1, n2, *, warm_seeds=(1000, 1001),
-                   seeds=((1, 2), (3, 4))):
+def _marginal_time(run, n1, n2):
     """min-of-2 marginal seconds-per-unit between run(n1) and run(n2)."""
-    run(n1, warm_seeds[0])
-    run(n2, warm_seeds[1])
+    from tpuslam.utils.profiling import marginal_ms
 
-    def best(n, ss):
-        ts = []
-        for s in ss:
-            t0 = time.time()
-            run(n, s)
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    t1 = best(n1, seeds[0])
-    t2 = best(n2, seeds[1])
-    return (t2 - t1) / (n2 - n1)
+    return marginal_ms(run, n1, n2) / 1e3
 
 
 def ekf_throughput(cfg, waypoints, landmarks, n_epochs, dtype=None):

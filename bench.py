@@ -44,31 +44,42 @@ def bench_closed_loop(cfg, landmarks, waypoints, n_epochs, key, dtype):
     wp = jnp.asarray(waypoints, dtype)
     lm = jnp.asarray(landmarks, dtype)
     st0 = init_sim_state(cfg, wp, dtype=dtype)
-    n2 = 3 * n_epochs
 
-    def run(n, seed):
+    # ONE compiled executable (chunk of n_epochs); longer runs chain it by
+    # feeding the state back — avoids a second multi-minute remote compile
+    # for the 3x measurement size.
+    def run(mult, seed):
         t0 = time.time()
-        out = run_epochs_rng(cfg, wp, lm, st0, n, jax.random.key(seed))
-        jax.block_until_ready(out)
-        np.asarray(out[0].ekf.x[0])  # force a real transfer barrier
-        return time.time() - t0, out
+        st = st0
+        recs_all = []
+        for i in range(mult):
+            st, recs = run_epochs_rng(
+                cfg, wp, lm, st, n_epochs, jax.random.key(seed + 7919 * i)
+            )
+            recs_all.append(recs)
+        jax.block_until_ready(st)
+        np.asarray(st.ekf.x[0])  # force a real transfer barrier
+        return time.time() - t0, (st, recs_all)
 
     t0 = time.time()
-    run(n_epochs, 1000)
-    run(n2, 1001)
+    run(1, 1000)
     t_compile = time.time() - t0
 
-    runs_a = [run(n_epochs, s) for s in (1, 2)]
-    runs_b = [run(n2, s) for s in (3, 4)]
+    runs_a = [run(1, s) for s in (1, 2)]
+    runs_b = [run(3, s) for s in (3, 4)]
     t_a = min(t for t, _ in runs_a)
     t_b = min(t for t, _ in runs_b)
-    out_b = runs_b[-1][1]
-    per_epoch = (t_b - t_a) / (n2 - n_epochs)
+    st_b, recs_list = runs_b[-1][1]
+    recs_b = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *recs_list,
+    )
+    per_epoch = (t_b - t_a) / (2 * n_epochs)
     rate = cfg.substeps_per_obs / per_epoch
     log(f"  compile+warm {t_compile:.1f}s; {n_epochs}ep {t_a:.3f}s, "
-        f"{n2}ep {t_b:.3f}s -> {per_epoch * 1e3:.3f} ms/epoch, "
+        f"{3 * n_epochs}ep {t_b:.3f}s -> {per_epoch * 1e3:.3f} ms/epoch, "
         f"{rate:.0f} ticks/s, {1.0 / per_epoch:.1f} updates/s")
-    return rate, out_b
+    return rate, (st_b, recs_b)
 
 
 def main():
@@ -91,7 +102,7 @@ def main():
     cfg1 = course1_config(n_landmarks=35, capacity=64, max_obs=48)
     wp1 = load_course()
     lm1 = make_landmarks(cfg1.scene, seed=3)
-    n_ep1 = 150 if args.quick else 1100
+    n_ep1 = 150 if args.quick else 400  # x3 chunks -> covers the full course
     log(f"[course1] 35 landmarks, cap 64, {n_ep1} epochs")
     rate1, (st1, recs1) = bench_closed_loop(
         cfg1, lm1, wp1, n_ep1, jax.random.key(0), dtype

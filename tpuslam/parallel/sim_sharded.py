@@ -206,7 +206,8 @@ def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map",
 
 
 def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
-                         axis: str = "map"):
+                         axis: str = "map",
+                         panel_exchange: str = "allgather"):
     """Whole-run scan with on-device noise (production/bench mode)."""
     sp = sim_state_specs(axis)
 
@@ -225,7 +226,8 @@ def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
                 k1, (cfg.substeps_per_obs, 2), dtype) * sig_ctrl
             obs = jax.random.normal(k2, (n_lm, 2), dtype) * sig_obs
             st, recs = epoch_shard(cfg, waypoints, landmarks, st,
-                                   (ctrl, obs), axis=axis)
+                                   (ctrl, obs), axis=axis,
+                                   panel_exchange=panel_exchange)
             return (st, k), recs
 
         (st, _), recs = lax.scan(body, (st0, key), None, length=n_epochs)

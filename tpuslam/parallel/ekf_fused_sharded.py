@@ -28,7 +28,7 @@ from jax.sharding import PartitionSpec as P  # noqa: F401  (doc reference)
 from tpuslam.assoc.nn import decide, pair_scores
 from tpuslam.core.geometry import mpi_to_pi
 from tpuslam.core.observation import predict_observation_xy
-from tpuslam.kernels.dispatch import use_pallas
+from tpuslam.kernels.dispatch import use_pallas_for
 from tpuslam.kernels.sym_rank_k import (
     rank_k_update_rect,
     rank_k_update_rect_ref,
@@ -286,7 +286,8 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     A_aug = A2 + 0.5 * jnp.matmul(B.reshape(m2, m2), Em, precision=_HI)
 
     # ---- the per-shard rectangular rank-k application.
-    rect = rank_k_update_rect if use_pallas() else rank_k_update_rect_ref
+    rect = (rank_k_update_rect if use_pallas_for(rows_local)
+            else rank_k_update_rect_ref)
 
     if panel_exchange == "allgather":
         Xm = jnp.concatenate([Em, W1_m.T], axis=0)        # (2*m2, cap2)

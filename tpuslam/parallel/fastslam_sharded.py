@@ -34,7 +34,6 @@ from tpuslam.core.geometry import initial_pose
 from tpuslam.filters.fastslam import (
     PFState,
     make_pf_state,
-    measurement_update,
     predict_particles,
     systematic_resample_indices,
 )

@@ -28,7 +28,6 @@ from tpuslam.parallel.ekf_sharded import (
 )
 from tpuslam.sim.sensors import get_observations
 from tpuslam.sim.simulator import (
-    SimState,
     TickRecord,
     VehicleState,
     init_sim_state,

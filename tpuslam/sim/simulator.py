@@ -34,7 +34,6 @@ from tpuslam.core.geometry import initial_pose
 from tpuslam.core.motion import steer, step_vehicle
 from tpuslam.filters.ekf import (
     add_features,
-    apply_predict,
     predict,
     predict_accumulate,
     predict_accumulator_init,

@@ -85,6 +85,8 @@ def bench_closed_loop(cfg, landmarks, waypoints, n_epochs, key, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="add landmark sweep + Monte-Carlo NEES")
     args = ap.parse_args()
 
     import jax
@@ -136,7 +138,7 @@ def main():
     pf_rate, pf_ms = fastslam_throughput(cfg1, wp1, lm1, 100, n_ep3)
     log(f"[fastslam-100p] {pf_ms:.2f} ms/epoch -> {pf_rate:.0f} ticks/s")
 
-    if not args.quick:
+    if args.full:
         from tpuslam.bench.harness import landmark_sweep, monte_carlo_nees
 
         log("[landmark sweep]")

@@ -50,3 +50,24 @@ def test_sharded_scaling_rows():
     # Marginal timings can be noisy at toy sizes; require finiteness.
     assert all(np.isfinite(r["ms_per_epoch"]) for r in rows)
     assert "efficiency" in rows[1]
+
+
+def test_stopwatch_and_marginal():
+    import time
+
+    from tpuslam.utils.profiling import Stopwatch, marginal_ms
+
+    sw = Stopwatch()
+    with sw.phase("a"):
+        time.sleep(0.01)
+    with sw.phase("a"):
+        pass
+    assert sw.counts["a"] == 2
+    assert "a" in sw.report()
+
+    # marginal_ms isolates the per-unit cost from fixed overhead.
+    def run(n, seed):
+        time.sleep(0.005 + 0.002 * n)
+
+    m = marginal_ms(run, 2, 6, repeats=1)
+    assert 1.0 < m < 4.0

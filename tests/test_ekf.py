@@ -172,3 +172,47 @@ class TestAddFeatures:
         # scatter must not have written out of bounds (no exception, finite).
         assert np.isfinite(np.asarray(got.x)).all()
         assert np.isfinite(np.asarray(got.P)).all()
+
+
+class TestGrowCapacity:
+    def test_grow_preserves_and_continues(self, rng):
+        """Growing capacity is exact and the filter continues identically
+        (same update on the small and the grown state)."""
+        from tpuslam.filters.state import grow_capacity
+
+        x_o, P_o = random_filter_state(rng, 5)
+        st = to_fixed(x_o, P_o, cap=8)
+        big = grow_capacity(st, 20)
+        assert big.capacity == 20
+        assert int(big.n) == 5
+        np.testing.assert_array_equal(np.asarray(big.x)[:19],
+                                      np.asarray(st.x))
+        np.testing.assert_array_equal(np.asarray(big.P)[:19, :19],
+                                      np.asarray(st.P))
+        assert np.all(np.asarray(big.P)[19:, :] == 0)
+
+        R = jnp.diag(jnp.array([0.01, 0.0003]))
+        from tpuslam.sim import oracle
+        zf = np.stack([oracle.predict_observation(x_o, j)[0]
+                       for j in range(3)])
+        z = jnp.asarray(zf)
+        mask = jnp.ones(3, bool)
+        idf = jnp.arange(3, dtype=jnp.int32)
+        small_out = update(st, z, mask, idf, R)
+        big_out = update(big, z, mask, idf, R)
+        np.testing.assert_allclose(
+            np.asarray(big_out.x)[:19], np.asarray(small_out.x),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(big_out.P)[:19, :19], np.asarray(small_out.P),
+            rtol=1e-8, atol=1e-12,
+        )
+
+    def test_shrink_rejected(self, rng):
+        from tpuslam.filters.state import grow_capacity
+
+        x_o, P_o = random_filter_state(rng, 2)
+        st = to_fixed(x_o, P_o, cap=8)
+        with pytest.raises(ValueError):
+            grow_capacity(st, 4)

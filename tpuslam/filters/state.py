@@ -48,6 +48,25 @@ class EKFState(NamedTuple):
         return jnp.arange(self.capacity) < self.n
 
 
+def grow_capacity(state: EKFState, new_capacity: int) -> EKFState:
+    """Re-embed the state into a larger capacity (recompile tier).
+
+    XLA needs static shapes, so long runs that outgrow their landmark
+    capacity step up through capacity tiers: embed (exact copy of the
+    active blocks, zeros elsewhere — the class invariant) and recompile at
+    the new shape.  SURVEY.md section 7 'hard parts' (a).
+    """
+    cap = state.capacity
+    if new_capacity < cap:
+        raise ValueError("capacity can only grow")
+    dim_old = 3 + 2 * cap
+    dim_new = 3 + 2 * new_capacity
+    x = jnp.zeros((dim_new,), state.x.dtype).at[:dim_old].set(state.x)
+    P = jnp.zeros((dim_new, dim_new), state.P.dtype)
+    P = P.at[:dim_old, :dim_old].set(state.P)
+    return EKFState(x=x, P=P, n=state.n)
+
+
 def make_ekf_state(pose, capacity: int, dtype=jnp.float32) -> EKFState:
     """Initial state: true pose, zero covariance, empty map.
 

@@ -29,3 +29,19 @@ def use_pallas() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+@functools.lru_cache(None)
+def big_matmul_precision():
+    """Precision for the two dim^2-sized products of the fused epoch
+    (P @ Hd^T and the rank-k panel update).  Default HIGHEST (6-pass f32
+    emulation); TPUSLAM_BIG_MATMUL_PRECISION=high selects the 3-pass
+    variant — measured accuracy-neutral on course1, ~lower cost at
+    cap >= 4096 where these products dominate.  Small covariance algebra
+    always stays HIGHEST.
+    """
+    from jax import lax
+
+    name = os.environ.get("TPUSLAM_BIG_MATMUL_PRECISION", "highest")
+    return {"high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[name]

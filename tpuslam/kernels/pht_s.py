@@ -25,6 +25,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpuslam.kernels.dispatch import big_matmul_precision
+
 _HI = lax.Precision.HIGHEST
 
 
@@ -49,7 +51,7 @@ def _make_kernel(dim: int, block: int):
             p_m, hdT_m,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_HI,
+            precision=big_matmul_precision(),
         )
 
         @pl.when(j == nb_c - 1)
@@ -123,5 +125,5 @@ def pht_and_s(P, Hd, *, block: int = 512, interpret: bool = False):
 
 def pht_and_s_ref(P, Hd):
     """Pure-XLA reference."""
-    PHt = jnp.matmul(P, Hd.T, precision=_HI)
+    PHt = jnp.matmul(P, Hd.T, precision=big_matmul_precision())
     return PHt, jnp.matmul(Hd, PHt, precision=_HI)

@@ -25,22 +25,25 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpuslam.kernels.dispatch import big_matmul_precision
+
 _HI = lax.Precision.HIGHEST
 
 
 def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
     # out = P + Xi^T @ Yj + Yi^T @ Xj   for this (i, j) tile.
+    prec = big_matmul_precision()
     acc = jax.lax.dot_general(
         xi_ref[:], yj_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_HI,
+        precision=prec,
     )
     acc = acc + jax.lax.dot_general(
         yi_ref[:], xj_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_HI,
+        precision=prec,
     )
     out_ref[:] = p_ref[:] + acc
 
@@ -105,8 +108,9 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
 
 
 def rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc):
-    return (P + jnp.matmul(Xr.T, Yc, precision=_HI)
-            + jnp.matmul(Yr.T, Xc, precision=_HI))
+    prec = big_matmul_precision()
+    return (P + jnp.matmul(Xr.T, Yc, precision=prec)
+            + jnp.matmul(Yr.T, Xc, precision=prec))
 
 
 def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
@@ -119,5 +123,5 @@ def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
 
 def symmetric_rank_k_update_ref(P, X, Y):
     """Pure-XLA reference (used on CPU and for equivalence tests)."""
-    Delta = jnp.matmul(X.T, Y, precision=_HI)
+    Delta = jnp.matmul(X.T, Y, precision=big_matmul_precision())
     return P + Delta + Delta.T

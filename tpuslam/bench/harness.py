@@ -94,6 +94,61 @@ def landmark_sweep(caps=(64, 256, 1024), n_epochs=30, extent_per_cap=0.4):
     return rows
 
 
+def ba_large_throughput(n_landmarks=1_000_000, n_poses=64, n_obs=4,
+                        iters_per_call=2, chunk=8192, seed=0,
+                        dtype=None):
+    """Large-scale grid BA (BASELINE config 5 shape): GN iterations/s at
+    `n_landmarks` on the current device(s).
+
+    Returns (ms_per_gn_iter, cost0, cost_final, median_lm_err).  Timing is
+    marginal between 1 and 3 chained calls of one compiled executable
+    (chaining feeds the optimized problem back in, so inputs differ and
+    the dispatch cache cannot serve a stale result).
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from tpuslam.graph.ba_large import (
+        gauss_newton_grid,
+        make_grid_ba_problem,
+    )
+
+    dtype = dtype or np.float32
+    M_pad = ((n_landmarks + chunk - 1) // chunk) * chunk
+    prob, tp, tl = make_grid_ba_problem(
+        n_landmarks, n_poses, n_obs, extent=2000.0, seed=seed,
+        pad_to=M_pad, dtype=dtype,
+    )
+
+    def run(n_calls):
+        p = prob
+        t0 = time.time()
+        c = None
+        for _ in range(n_calls):
+            p, c = gauss_newton_grid(p, iters_per_call, chunk=chunk)
+        jax.block_until_ready(p)
+        np.asarray(p.poses[0])
+        return time.time() - t0, p, c
+
+    run(1)                                   # compile + warm
+    c0 = None
+    t1 = min(run(1)[0] for _ in range(2))
+    t3, p3, c3 = run(3)
+    t3b, _, _ = run(3)
+    t3 = min(t3, t3b)
+    per_iter = (t3 - t1) / (2 * iters_per_call)
+
+    from tpuslam.graph.ba_large import grid_cost
+
+    c0 = float(grid_cost(prob))
+    lm_err = np.linalg.norm(
+        np.asarray(p3.landmarks)[:n_landmarks] - np.asarray(tl), axis=1
+    )
+    return per_iter * 1e3, c0, float(c3), float(np.median(lm_err))
+
+
 def monte_carlo_nees(cfg, waypoints, landmarks, n_runs=20, n_epochs=30,
                      dtype=None, seed0=0):
     """Mean position NEES over Monte-Carlo runs at the final step.

@@ -87,6 +87,28 @@ class TestGridEquivalence:
         assert np.median(lm_err) < 0.3
 
 
+class TestF32GaugeStability:
+    def test_f32_matches_f64_solution(self):
+        """Regression: the gauge mode (rigid rotation/translation about the
+        anchor, invisible to all relative factors) must not drift under f32
+        accumulation noise.  Guarded by the information-scaled anchor
+        prior + Kahan chunk accumulation + Jacobi-equilibrated solve; before
+        those, f32 pose error here was ~20x worse than f64."""
+        p32, tp, tl = make_grid_ba_problem(
+            2000, 48, 4, extent=2000.0, seed=1, dtype=np.float32)
+        p64, _, _ = make_grid_ba_problem(
+            2000, 48, 4, extent=2000.0, seed=1, dtype=np.float64)
+        o32, _ = gauss_newton_grid(p32, 6, chunk=500)
+        o64, _ = gauss_newton_grid(p64, 6, chunk=500)
+        e32 = np.linalg.norm(
+            np.asarray(o32.poses)[:, :2] - np.asarray(tp)[:, :2], axis=1
+        ).mean()
+        e64 = np.linalg.norm(
+            np.asarray(o64.poses)[:, :2] - np.asarray(tp)[:, :2], axis=1
+        ).mean()
+        assert e32 < 2.0 * e64 + 1e-3
+
+
 class TestGridSharded:
     def test_sharded_matches_dense(self):
         prob, _, _ = small_problem(M=24, pad_to=40)  # 40 = 8 shards x 5

@@ -125,28 +125,28 @@ def ba_large_throughput(n_landmarks=1_000_000, n_poses=64, n_obs=4,
     def run(n_calls):
         p = prob
         t0 = time.time()
-        c = None
         for _ in range(n_calls):
-            p, c = gauss_newton_grid(p, iters_per_call, chunk=chunk)
+            p, _ = gauss_newton_grid(p, iters_per_call, chunk=chunk,
+                                     with_cost=False)
         jax.block_until_ready(p)
         np.asarray(p.poses[0])
-        return time.time() - t0, p, c
+        return time.time() - t0, p
 
     run(1)                                   # compile + warm
-    c0 = None
     t1 = min(run(1)[0] for _ in range(2))
-    t3, p3, c3 = run(3)
-    t3b, _, _ = run(3)
+    t3, p3 = run(3)
+    t3b, _ = run(3)
     t3 = min(t3, t3b)
     per_iter = (t3 - t1) / (2 * iters_per_call)
 
     from tpuslam.graph.ba_large import grid_cost
 
     c0 = float(grid_cost(prob))
+    c3 = float(grid_cost(p3))
     lm_err = np.linalg.norm(
         np.asarray(p3.landmarks)[:n_landmarks] - np.asarray(tl), axis=1
     )
-    return per_iter * 1e3, c0, float(c3), float(np.median(lm_err))
+    return per_iter * 1e3, c0, c3, float(np.median(lm_err))
 
 
 def monte_carlo_nees(cfg, waypoints, landmarks, n_runs=20, n_epochs=30,

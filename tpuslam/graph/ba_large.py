@@ -173,23 +173,33 @@ def _grid_pass1(poses, prob: BAGridProblem, damping, chunk):
 
     def body(acc, xs):
         lm_c, op_c, oz_c, om_c = xs
-        stored, (Sc, D, bp, bc) = _chunk_terms(
+        stored, inc = _chunk_terms(
             poses, lm_c, op_c, oz_c, om_c, prob.obs_sqrt_info, damping, K
         )
-        Sc0, D0, bp0, bc0 = acc
-        return (Sc0 + Sc, D0 + D, bp0 + bp, bc0 + bc), stored
+        # Kahan-compensated accumulation: the reduced-system entries grow to
+        # ~(factor count x whitened weight^2) while the gauge mode is held
+        # only by the prior, so plain f32 summation noise visibly rotates
+        # the solution about the anchor (see tests/test_ba_large.py).
+        sums, comps = acc
+        new_sums, new_comps = [], []
+        for s, c, x in zip(sums, comps, inc):
+            y = x - c
+            t = s + y
+            new_comps.append((t - s) - y)
+            new_sums.append(t)
+        return (tuple(new_sums), tuple(new_comps)), stored
 
     def r(a):
         return a.reshape((n_chunks, chunk) + a.shape[1:])
 
-    acc0 = (
+    zeros = (
         jnp.zeros((3 * K, 3 * K), dtype),
         jnp.zeros((K, 3, 3), dtype),
         jnp.zeros((K, 3), dtype),
         jnp.zeros(3 * K, dtype),
     )
-    acc, stored = lax.scan(
-        body, acc0,
+    (acc, _), stored = lax.scan(
+        body, (zeros, zeros),
         (r(prob.landmarks), r(prob.obs_p), r(prob.obs_z), r(prob.obs_mask)),
     )
     Hll = stored[0].reshape(M, 2, 2)
@@ -227,7 +237,11 @@ def _gn_step_grid(prob: BAGridProblem, damping, chunk, psum_axis=None):
     H = (Hpp_o + Hpp_obs - Sc
          + damping * jnp.eye(3 * K, dtype=dtype))
     b = bp_o + bp_obs.reshape(3 * K) - bc
-    dp = jnp.linalg.solve(H, -b)
+    # Jacobi-preconditioned solve: position (m) and heading (rad) rows
+    # differ by orders of magnitude; equilibrate before factorizing.
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H), 1e-20))
+    Hs = H * d[:, None] * d[None, :]
+    dp = d * jnp.linalg.solve(Hs, -(b * d))
 
     dl = _back_substitute(dp, stored, prob)
     poses = prob.poses + dp.reshape(K, 3)
@@ -244,20 +258,24 @@ def _fit_chunk(M: int, chunk: int) -> int:
     return max(c, 1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def gauss_newton_grid(prob: BAGridProblem, iters: int = 10,
-                      damping: float = 1e-6, chunk: int = 4096):
+                      damping: float = 1e-6, chunk: int = 4096,
+                      with_cost: bool = True):
     """Damped GN on the grid layout; returns (problem, final masked cost).
 
     Pad M (masked slots are exact no-ops) so a large chunk divides it —
-    otherwise the chunk shrinks to the next divisor."""
+    otherwise the chunk shrinks to the next divisor.  `with_cost=False`
+    skips the final cost evaluation (an extra full factor pass) — used by
+    the benchmark harness to time pure GN iterations."""
     c = _fit_chunk(prob.landmarks.shape[0], chunk)
 
     def body(p, _):
         return _gn_step_grid(p, damping, c), ()
 
     prob, _ = lax.scan(body, prob, None, length=iters)
-    return prob, grid_cost(prob)
+    return prob, (grid_cost(prob) if with_cost
+                  else jnp.zeros((), prob.poses.dtype))
 
 
 def grid_cost(prob: BAGridProblem):
@@ -380,6 +398,12 @@ def make_grid_ba_problem(n_landmarks: int, n_poses: int, n_obs: int = 4,
     poses0[0] = poses_true[0]                      # gauge anchor
     lm0 = lm_true + rng.normal(0, init_noise, lm_true.shape)
 
+    # Gauge prior scaled to the problem's total information: rigid
+    # rotation/translation about the anchor is invisible to every relative
+    # factor, so the prior must be as stiff as the data modes or f32
+    # accumulation noise drifts the whole solution along the gauge.
+    prior_w = max(1 / z_noise[0], 1 / z_noise[1]) * np.sqrt(M * O)
+
     return BAGridProblem(
         poses=jnp.asarray(poses0, dtype),
         landmarks=jnp.asarray(padM(lm0.astype(dtype)), dtype),
@@ -394,7 +418,7 @@ def make_grid_ba_problem(n_landmarks: int, n_poses: int, n_obs: int = 4,
             np.diag([1 / pose_noise] * 3).astype(dtype)),
         obs_sqrt_info=jnp.asarray(
             np.diag([1 / z_noise[0], 1 / z_noise[1]]).astype(dtype)),
-        prior_sqrt_info=jnp.asarray((np.eye(3) * 1e3).astype(dtype)),
+        prior_sqrt_info=jnp.asarray((np.eye(3) * prior_w).astype(dtype)),
     ), jnp.asarray(poses_true, dtype), jnp.asarray(lm_true, dtype)
 
 

@@ -150,6 +150,15 @@ def main():
         log(f"[NEES] mean position NEES over 10 runs: {nees:.2f} "
             f"(consistent ~ 2)")
 
+        from tpuslam.bench.harness import ba_large_throughput
+
+        ms_ba, c0, cf, lm_err = ba_large_throughput(
+            1_000_000, 64, 4, iters_per_call=2, chunk=8192
+        )
+        log(f"[grid-BA 1M landmarks, 64 poses] {ms_ba:.1f} ms/GN-iter "
+            f"({1e3 / ms_ba:.1f} it/s); cost {c0:.2e} -> {cf:.2e}; "
+            f"median landmark err {lm_err:.3f} m")
+
     healthy = bool(np.isfinite(ate) and ate < 5.0)
     value = rate2 if healthy else 0.0
     print(json.dumps({

@@ -87,6 +87,37 @@ class TestGridEquivalence:
         assert np.median(lm_err) < 0.3
 
 
+class TestFlatFactorTerms:
+    def test_flat_matches_stacked(self):
+        """obs_terms_flat (the scalar-unrolled TPU form) == obs_residual."""
+        import jax
+
+        from tpuslam.graph.factors import obs_residual, obs_terms_flat
+
+        rng = np.random.default_rng(0)
+        pose = rng.normal(0, 5, (32, 3))
+        lm = rng.normal(0, 20, (32, 2))
+        z = np.stack([rng.uniform(1, 30, 32), rng.uniform(-3, 3, 32)], -1)
+        r, A, B = jax.vmap(obs_residual)(
+            jnp.asarray(pose), jnp.asarray(lm), jnp.asarray(z))
+        r0, r1, Af, Bf = obs_terms_flat(
+            *[jnp.asarray(x) for x in
+              (pose[:, 0], pose[:, 1], pose[:, 2], lm[:, 0], lm[:, 1],
+               z[:, 0], z[:, 1])])
+        np.testing.assert_allclose(np.asarray(r),
+                                   np.stack([r0, r1], -1), rtol=1e-12)
+        for i in range(2):
+            for a in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(A)[:, i, a],
+                    np.asarray(jnp.broadcast_to(Af[i][a], (32,))),
+                    rtol=1e-12)
+            for k in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(B)[:, i, k], np.asarray(Bf[i][k]),
+                    rtol=1e-12)
+
+
 class TestF32GaugeStability:
     def test_f32_matches_f64_solution(self):
         """Regression: the gauge mode (rigid rotation/translation about the

@@ -49,7 +49,7 @@ from jax.sharding import PartitionSpec as P
 
 from tpuslam.core.geometry import mpi_to_pi
 from tpuslam.graph.ba import _pose_only_terms
-from tpuslam.graph.factors import obs_residual
+from tpuslam.graph.factors import obs_terms_flat
 from tpuslam.kernels.dispatch import big_matmul_precision
 
 _HI = lax.Precision.HIGHEST
@@ -130,29 +130,57 @@ def _chunk_terms(poses, lm_c, obs_p_c, obs_z_c, obs_mask_c, W, damping, K):
     pf = jnp.matmul(E, poses, precision=_HI)  # (F, 3)
     lf = jnp.repeat(lm_c, O, axis=0)
     zf = obs_z_c.reshape(F, 2)
-    r, A, B = jax.vmap(obs_residual)(pf, lf, zf)
+
+    # Scalar-unrolled factor algebra on flat (F,) vectors: batched einsums
+    # over millions of 2x2/2x3 blocks lower to padded tiny dot_generals on
+    # TPU (~100x off roofline, measured); unrolled components stay on the
+    # VPU.  Same math as graph/ba.py's _obs_terms.
     m = obs_mask_c.reshape(F).astype(dtype)
-    r = jnp.einsum("ok,fk->fo", W, r, precision=_HI) * m[:, None]
-    A = jnp.einsum("ok,fkl->fol", W, A, precision=_HI) * m[:, None, None]
-    B = jnp.einsum("ok,fkl->fol", W, B, precision=_HI) * m[:, None, None]
+    r0, r1, Ar_, Br_ = obs_terms_flat(
+        pf[:, 0], pf[:, 1], pf[:, 2], lf[:, 0], lf[:, 1], zf[:, 0], zf[:, 1]
+    )
+    w = [[W[i, j] for j in range(2)] for i in range(2)]
+    r = [m * (w[i][0] * r0 + w[i][1] * r1) for i in range(2)]
+    A = [[m * (w[i][0] * Ar_[0][a] + w[i][1] * Ar_[1][a]) for a in range(3)]
+         for i in range(2)]
+    B = [[m * (w[i][0] * Br_[0][k] + w[i][1] * Br_[1][k]) for k in range(2)]
+         for i in range(2)]
+
+    def redO(x):                              # (F,) -> per-landmark sum
+        return x.reshape(mc, O).sum(1)
 
     # Landmark-side small blocks: reduce the O axis densely.
-    BtB = jnp.einsum("fok,fol->fkl", B, B, precision=_HI)
-    Hll = BtB.reshape(mc, O, 2, 2).sum(1) + damping * jnp.eye(2, dtype=dtype)
-    bl = jnp.einsum("fok,fo->fk", B, r,
-                    precision=_HI).reshape(mc, O, 2).sum(1)
-    BtA = jnp.einsum("fok,fol->fkl", B, A, precision=_HI)   # (F, 2, 3)
+    Hll = jnp.stack([
+        jnp.stack([redO(B[0][k] * B[0][l] + B[1][k] * B[1][l])
+                   for l in range(2)], -1)
+        for k in range(2)], -2) + damping * jnp.eye(2, dtype=dtype)
+    bl = jnp.stack([redO(B[0][k] * r[0] + B[1][k] * r[1])
+                    for k in range(2)], -1)
+    BtA = jnp.stack([
+        jnp.stack([B[0][k] * A[0][a] + B[1][k] * A[1][a]
+                   for a in range(3)], -1)
+        for k in range(2)], -2)                              # (F, 2, 3)
 
-    # Pose-side diagonal blocks + gradient (per-factor, one pose each).
-    AtA = jnp.einsum("fok,fol->fkl", A, A, precision=_HI)
-    D = jnp.einsum("fp,fkl->pkl", E, AtA, precision=_HI)    # (K, 3, 3)
-    bp = jnp.einsum("fp,fok,fo->pk", E, A, r, precision=_HI)
+    # Pose-side diagonal blocks + gradient: every per-factor product as a
+    # (F, 12) panel, placed by pose through ONE E^T matmul on the MXU.
+    cols = [A[0][k] * A[0][l] + A[1][k] * A[1][l]
+            for k in range(3) for l in range(3)]
+    cols += [A[0][k] * r[0] + A[1][k] * r[1] for k in range(3)]
+    T = jnp.stack(cols, axis=-1)                             # (F, 12)
+    ET = jnp.matmul(E.T, T, precision=_HI)                   # (K, 12)
+    D = ET[:, :9].reshape(K, 3, 3)
+    bp = ET[:, 9:]
 
     # Coupling panel G_m (2, 3K) spread by observer pose, then whitened:
     #   G[m, :, p, :] = sum_{o: p(m,o)=p} BtA[m, o]
-    G = jnp.einsum("mop,moka->mkpa",
-                   E.reshape(mc, O, K), BtA.reshape(mc, O, 2, 3),
-                   precision=_HI).reshape(mc, 2, 3 * K)
+    # Built as O broadcast multiply-adds of (mc, K) x (mc, 6) outer slabs —
+    # the einsum form lowers to mc-batched 4x6 dot_generals (tiny, padded).
+    Em = E.reshape(mc, O, K)
+    Bm = BtA.reshape(mc, O, 6)
+    G = jnp.zeros((mc, K, 6), dtype)
+    for o in range(O):
+        G = G + Em[:, o, :, None] * Bm[:, o, None, :]
+    G = G.reshape(mc, K, 2, 3).transpose(0, 2, 1, 3).reshape(mc, 2, 3 * K)
     l11, l21, l22 = _chol2(Hll)
     V = _chol2_solve(l11, l21, l22, G).reshape(2 * mc, 3 * K)
     u = _chol2_solve(l11, l21, l22, bl[..., None])[..., 0]  # (mc, 2)
@@ -210,12 +238,15 @@ def _grid_pass1(poses, prob: BAGridProblem, damping, chunk):
 
 def _back_substitute(dp, stored, prob: BAGridProblem):
     """dl = Hll^-1 (-bl - G dp), with G dp rebuilt from the stored BtA and
-    a tiny-table gather of dp by observer pose (no G materialization)."""
+    a tiny-table gather of dp by observer pose (no G materialization).
+    The (M, O, 2, 3) x (M, O, 3) contraction is written as broadcast
+    multiply + small-axis reduction — a batched tiny dot_general is ~100x
+    off roofline on TPU (same lesson as _chunk_terms)."""
     Hll, bl, BtA = stored
     M, O = prob.obs_p.shape
     dp3 = dp.reshape(-1, 3)
     dpg = dp3[prob.obs_p.reshape(-1)].reshape(M, O, 3)
-    Gdp = jnp.einsum("moka,moa->mk", BtA, dpg, precision=_HI)
+    Gdp = (BtA * dpg[:, :, None, :]).sum(axis=(1, 3))
     dl = _solve2(Hll, -bl - Gdp)
     return dl * prob.lm_mask[:, None].astype(dl.dtype)
 
@@ -282,15 +313,19 @@ def grid_cost(prob: BAGridProblem):
     from tpuslam.graph.ba import _odo_terms
 
     M, O = prob.obs_p.shape
+    W = prob.obs_sqrt_info
     pf = prob.poses[prob.obs_p.reshape(-1)]
     lf = jnp.repeat(prob.landmarks, O, axis=0)
-    r, _, _ = jax.vmap(obs_residual)(pf, lf, prob.obs_z.reshape(-1, 2))
+    zf = prob.obs_z.reshape(-1, 2)
+    r0, r1, _, _ = obs_terms_flat(
+        pf[:, 0], pf[:, 1], pf[:, 2], lf[:, 0], lf[:, 1], zf[:, 0], zf[:, 1]
+    )
     m = (prob.obs_mask.reshape(-1)
-         & prob.lm_mask.repeat(O)).astype(r.dtype)
-    r = jnp.einsum("ok,fk->fo", prob.obs_sqrt_info, r,
-                   precision=_HI) * m[:, None]
+         & prob.lm_mask.repeat(O)).astype(r0.dtype)
+    w0 = (W[0, 0] * r0 + W[0, 1] * r1) * m
+    w1 = (W[1, 0] * r0 + W[1, 1] * r1) * m
     r_o, _, _ = _odo_terms(prob.poses, prob)
-    return jnp.sum(r_o**2) + jnp.sum(r**2)
+    return jnp.sum(r_o**2) + jnp.sum(w0 * w0 + w1 * w1)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,34 @@ def obs_residual(pose, lm, z):
     return r, A, B
 
 
+def obs_terms_flat(px, py, phi, lx, ly, z0, z1):
+    """Component-wise (scalar-unrolled) form of `obs_residual` for batched
+    evaluation on flat (F,) vectors.
+
+    Returns (r0, r1, A, B) where A = ((A00, A01, A02), (A10, A11, A12)) and
+    B = ((B00, B01), (B10, B11)) are tuples of (F,) arrays — the same
+    values as obs_residual's stacked outputs.  Why this exists: on TPU,
+    batched einsums over millions of 2x3 blocks lower to padded tiny
+    dot_generals (~100x off roofline); unrolled components stay elementwise
+    on the VPU.  Equivalence is tested in tests/test_ba_large.py.
+    """
+    dx = lx - px
+    dy = ly - py
+    d2 = jnp.maximum(dx * dx + dy * dy, 1e-12)
+    d = jnp.sqrt(d2)
+    r0 = z0 - d
+    r1 = mpi_to_pi(z1 - (jnp.arctan2(dy, dx) - phi))
+
+    xd, yd = dx / d, dy / d
+    xd2, yd2 = dx / d2, dy / d2
+    zero = jnp.zeros_like(d)
+    one = jnp.ones_like(d)
+    # A = -H_pose, B = -H_feat (signs as in obs_residual).
+    A = ((xd, yd, zero), (-yd2, xd2, one))
+    B = ((-xd, -yd), (yd2, -xd2))
+    return r0, r1, A, B
+
+
 def odo_residual(pose_i, pose_j, meas):
     """Relative-pose (odometry) residual in the frame of pose_i, (3,).
 

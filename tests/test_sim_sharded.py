@@ -67,6 +67,43 @@ def test_sharded_run_matches_dense(setup):
     )
 
 
+def test_sharded_run_bf16_map_storage(setup):
+    """bf16 storage of the row-sharded Pmm (the 100k-landmark memory
+    budget, init_sharded_sim_state map_dtype) must track the f32 run: same
+    course completion, finite covariance, and a close trajectory.  All
+    algebra stays f32 — only the Pmm tiles round on write."""
+    from tpuslam.bench.metrics import ate_rmse
+
+    cfg, waypoints, landmarks, noises = setup
+    wp = jnp.asarray(waypoints, jnp.float32)
+    lm = jnp.asarray(landmarks, jnp.float32)
+    nz = tuple(jnp.asarray(n, jnp.float32) for n in noises)
+
+    mesh = make_slam_mesh(n_map=8)
+    run = make_sharded_run(cfg, mesh)
+    outs = {}
+    for name, map_dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
+        st, recs = run(
+            wp, lm,
+            init_sharded_sim_state(cfg, wp, dtype=jnp.float32,
+                                   map_dtype=map_dtype),
+            nz,
+        )
+        if map_dtype is not None:
+            assert st.ekf.Pmm.dtype == jnp.bfloat16
+        dense = to_dense(st.ekf)
+        assert np.isfinite(np.asarray(dense.P)).all()
+        a = np.asarray(recs.active).reshape(-1)
+        tt = np.asarray(recs.true_pose).reshape(-1, 3)[a]
+        ss = np.asarray(recs.slam_pose).reshape(-1, 3)[a]
+        outs[name] = (ate_rmse(ss, tt), int(st.ekf.n))
+
+    ate32, n32 = outs["f32"]
+    ate16, n16 = outs["bf16"]
+    assert n16 == n32                     # same map built
+    assert ate16 < max(2.0 * ate32, ate32 + 0.25)
+
+
 def test_sharded_run_two_axis_mesh(setup):
     """Map sharding composes with an outer (idle) particle axis."""
     cfg, waypoints, landmarks, noises = setup

@@ -32,6 +32,9 @@ _HI = lax.Precision.HIGHEST
 
 def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
     # out = P + Xi^T @ Yj + Yi^T @ Xj   for this (i, j) tile.
+    # P may be stored in a reduced dtype (bf16 map blocks for the
+    # 100k-landmark memory budget); the accumulation always runs in f32 and
+    # the result is rounded back to the storage dtype on write.
     prec = big_matmul_precision()
     acc = jax.lax.dot_general(
         xi_ref[:], yj_ref[:],
@@ -45,7 +48,7 @@ def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
         preferred_element_type=jnp.float32,
         precision=prec,
     )
-    out_ref[:] = p_ref[:] + acc
+    out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(out_ref.dtype)
 
 
 def _pad_panels(X, Y):
@@ -109,8 +112,9 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
 
 def rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc):
     prec = big_matmul_precision()
-    return (P + jnp.matmul(Xr.T, Yc, precision=prec)
-            + jnp.matmul(Yr.T, Xc, precision=prec))
+    acc = (jnp.matmul(Xr.T, Yc, precision=prec)
+           + jnp.matmul(Yr.T, Xc, precision=prec))
+    return (P.astype(acc.dtype) + acc).astype(P.dtype)
 
 
 def symmetric_rank_k_update(P, X, Y, *, block: int = 512,

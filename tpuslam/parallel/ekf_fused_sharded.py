@@ -38,6 +38,36 @@ from tpuslam.parallel.ekf_sharded import BlockEKFState
 _HI = lax.Precision.HIGHEST
 
 
+def local_diag_blocks(Pmm, f0, dtype):
+    """(cap_local, 2, 2) feature diagonal blocks of the row-sharded Pmm.
+
+    Computed as a fused mask-multiply reduction over one streaming pass of
+    the local block: gathers with axis_index-dependent (dynamic) indices
+    lower to degenerate scalar loops on TPU (measured ~30 ms at cap 1024
+    inside shard_map vs sub-ms for this form), and this form reads the
+    storage dtype directly (bf16 map blocks never materialize in f32)."""
+    rows_local, cap2 = Pmm.shape
+    cap_local = rows_local // 2
+    cap = cap2 // 2
+    V = Pmm.reshape(cap_local, 2, cap, 2)
+    sel = (jnp.arange(cap)[None, :]
+           == (f0 + jnp.arange(cap_local))[:, None]).astype(Pmm.dtype)
+    return (V * sel[:, None, :, None]).sum(2, dtype=dtype)
+
+
+def _pmm_matmul(Pmm, B, dtype):
+    """Pmm @ B with the Pmm operand streamed at its STORAGE dtype (bf16 map
+    blocks must not round-trip through an f32 copy); accumulation in
+    `dtype`.  Exact HIGHEST-precision path when storage == compute."""
+    if Pmm.dtype == dtype:
+        return jnp.matmul(Pmm, B, precision=_HI)
+    return lax.dot_general(
+        Pmm, B.astype(Pmm.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    )
+
+
 def _predicted_blocks(st: BlockEKFState, Gt, Qacc):
     P33_pred = (
         jnp.einsum("ik,kl,jl->ij", Gt, st.Ppp, Gt, precision=_HI) + Qacc
@@ -66,10 +96,7 @@ def associate_pred_shard(st: BlockEKFState, pose_pred, Gt, Qacc, z, z_mask,
     P3f = lax.dynamic_slice(
         Ppm_pred, (jnp.zeros_like(row0), row0), (3, rows_local)
     ).reshape(3, cap_local, 2).transpose(1, 0, 2)
-    lrow = 2 * jnp.arange(cap_local)
-    rpairs = jnp.stack([lrow, lrow + 1], axis=-1)
-    cpairs = rpairs + row0
-    Pff = st.Pmm[rpairs[:, :, None], cpairs[:, None, :]]
+    Pff = local_diag_blocks(st.Pmm, f0, st.pose.dtype)
 
     slot_active = (f0 + jnp.arange(cap_local)) < st.n
     nis_l, nd_l = pair_scores(
@@ -168,7 +195,11 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     P33_pred, Ppm_pred = _predicted_blocks(st, Gt, Qacc)
 
     # ---- innovation terms on the predicted state (replicated).
-    feats = st.fm[idf]
+    # Feature reads/placements go through one-hot matmuls and dense-H
+    # panels — NO data-dependent gathers (degenerate lowering inside
+    # shard_map on TPU; same lesson as filters/ekf.py's dense-H note).
+    Eidf = (idf[:, None] == jnp.arange(cap)[None, :]).astype(dtype)
+    feats = jnp.matmul(Eidf, st.fm, precision=_HI)           # (max_nz, 2)
     zp, Hp, Hf = jax.vmap(
         lambda f: predict_observation_xy(pose_pred, f)
     )(feats)
@@ -180,33 +211,36 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     Hp = Hp * m[:, None, None]
     Hf = Hf * m[:, None, None]
     fcol = 2 * idf
-    fcols = jnp.stack([fcol, fcol + 1], axis=-1)
 
-    # ---- PHt pose rows (replicated) and map rows (local).
-    Ppm_f = jnp.moveaxis(Ppm_pred[:, fcols], 0, 1)
-    PHt_p = jnp.einsum("kl,nol->kno", P33_pred, Hp, precision=_HI)
-    PHt_p = (PHt_p
-             + jnp.einsum("nkl,nol->kno", Ppm_f, Hf, precision=_HI)
-             ).reshape(3, m2)
+    # Dense map-column observation Jacobian (m2, cap2): Hf blocks placed at
+    # their feature columns by broadcasted one-hot.
+    colsm = jnp.arange(cap2)
+    is_f0 = (colsm[None, :] == fcol[:, None]).astype(dtype)
+    is_f1 = (colsm[None, :] == (fcol + 1)[:, None]).astype(dtype)
+    Hdm = (Hf[:, :, 0:1] * is_f0[:, None, :]
+           + Hf[:, :, 1:2] * is_f1[:, None, :]).reshape(m2, cap2)
+    Hp2 = Hp.reshape(m2, 3)
+
+    # ---- PHt pose rows (replicated) and map rows (local): pure matmuls.
+    PHt_p = (jnp.matmul(P33_pred, Hp2.T, precision=_HI)
+             + jnp.matmul(Ppm_pred, Hdm.T, precision=_HI))   # (3, m2)
 
     Pmp_local = lax.dynamic_slice(
         Ppm_pred, (jnp.zeros_like(row0), row0), (3, rows_local)
     ).T
-    Pmm_f = st.Pmm[:, fcols]
-    PHt_m = jnp.einsum("rk,nok->rno", Pmp_local, Hp, precision=_HI)
-    PHt_m = (PHt_m
-             + jnp.einsum("rnk,nok->rno", Pmm_f, Hf, precision=_HI)
-             ).reshape(rows_local, m2)
+    PHt_m = (jnp.matmul(Pmp_local, Hp2.T, precision=_HI)
+             + _pmm_matmul(st.Pmm, Hdm.T, dtype))            # (rows_local, m2)
 
-    # ---- Schur system (ONE psum).
-    lr = fcol - row0
-    owner = (lr >= 0) & (lr < rows_local) & matched
-    lrc = jnp.clip(jnp.stack([lr, lr + 1], axis=-1), 0, rows_local - 1)
-    PHt_frows = PHt_m[lrc] * owner[:, None, None].astype(dtype)
-    C_b = jnp.einsum("nok,nkm->nom", Hf, PHt_frows, precision=_HI)
-    C = lax.psum(C_b.reshape(m2, m2), axis)
+    # ---- Schur system (ONE psum): the map-side quadratic form decomposes
+    # over column blocks, C = sum_b Hdm[:, rows_b] @ PHt_m_b — each shard's
+    # Hdm slice is nonzero only for the features it owns.
+    Hdm_local = lax.dynamic_slice(
+        Hdm, (jnp.zeros_like(row0), row0), (m2, rows_local)
+    )
+    C_b = jnp.matmul(Hdm_local, PHt_m, precision=_HI)
+    C = lax.psum(C_b, axis)
 
-    S = jnp.einsum("nok,km->nom", Hp, PHt_p, precision=_HI).reshape(m2, m2)
+    S = jnp.matmul(Hp2, PHt_p, precision=_HI)
     Rb = jnp.asarray(R, dtype)
     blocks = jnp.where(matched[:, None, None], Rb[None],
                        jnp.eye(2, dtype=dtype))
@@ -216,6 +250,14 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     ).reshape(m2, m2)
     S = S + C + RR
     S = 0.5 * (S + S.T)
+    if st.Pmm.dtype != dtype:
+        # Reduced-precision map storage: P carries ~2^-8 relative
+        # quantization noise, so S = H P H' + R can go (slightly) non-PD
+        # once the covariance has grown — observed as a Cholesky NaN after
+        # ~60 epochs at cap 1024.  Inflate by a few ulps of S's own scale
+        # (a scale-free, conservative bias: equivalent to admitting the
+        # quantization as extra measurement noise).
+        S = S + (2.0 ** -7) * jnp.diag(jnp.diag(S))
 
     # ---- gain panels.
     L = jnp.linalg.cholesky(S)
@@ -259,11 +301,12 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     gcols = jnp.stack([gcol, gcol + 1], axis=-1).reshape(-1)  # (m2,)
     Em = (gcols[:, None] == jnp.arange(cap2)[None, :]).astype(dtype)
 
+    # Feature-mean write as a one-hot blend (no dynamic scatter).
     fslot = jnp.where(slot_ok, pos, cap)
-    fm_new = fm_upd.at[fslot].set(
-        jnp.stack([pose_upd[0] + r * c, pose_upd[1] + r * s], axis=-1),
-        mode="drop",
-    )
+    Ef = (fslot[:, None] == jnp.arange(cap)[None, :]).astype(dtype)
+    vals = jnp.stack([pose_upd[0] + r * c, pose_upd[1] + r * s], axis=-1)
+    fm_new = (fm_upd * (1.0 - Ef.sum(0))[:, None]
+              + jnp.matmul(Ef.T, vals * new[:, None], precision=_HI))
 
     one = jnp.ones_like(r)
     zero = jnp.zeros_like(r)
@@ -273,13 +316,15 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     Gz = jnp.stack(
         [jnp.stack([c, -r * s], axis=-1),
          jnp.stack([s, r * c], axis=-1)], axis=-2)
+    Gv2 = Gv.reshape(m2, 3)
 
-    # New pose-map cross columns (replicated scatter into Ppm).
-    A_pose = jnp.einsum("nok,kl->nol", Gv, P33_upd, precision=_HI)
-    Ppm_new = Ppm_upd.at[:, gcols].set(A_pose.reshape(-1, 3).T, mode="drop")
+    # New pose-map cross columns: one-hot column blend into Ppm.
+    A_pose = jnp.matmul(Gv2, P33_upd, precision=_HI)         # (m2, 3)
+    colmask = Em.sum(0)                                      # (cap2,)
+    Ppm_new = (Ppm_upd * (1.0 - colmask)[None, :]
+               + jnp.matmul(A_pose.T, Em, precision=_HI))
 
-    A_map = jnp.einsum("nok,kd->nod", Gv, Ppm_upd, precision=_HI)
-    A2 = A_map.reshape(m2, cap2)
+    A2 = jnp.matmul(Gv2, Ppm_upd, precision=_HI)             # (m2, cap2)
     B = jnp.einsum("iok,kl,jpl->iojp", Gv, P33_upd, Gv, precision=_HI)
     D = jnp.einsum("iok,kl,ipl->iop", Gz, Rb, Gz, precision=_HI)
     B = B + jnp.eye(max_nz, dtype=dtype)[:, None, :, None] * D[:, :, None, :]

@@ -89,7 +89,9 @@ def from_dense(state: EKFState) -> BlockEKFState:
 def to_dense(state: BlockEKFState) -> EKFState:
     x = jnp.concatenate([state.pose, state.fm.reshape(-1)])
     top = jnp.concatenate([state.Ppp, state.Ppm], axis=1)
-    bot = jnp.concatenate([state.Ppm.T, state.Pmm], axis=1)
+    bot = jnp.concatenate(
+        [state.Ppm.T, state.Pmm.astype(state.Ppp.dtype)], axis=1
+    )
     return EKFState(x=x, P=jnp.concatenate([top, bot], axis=0), n=state.n)
 
 
@@ -156,7 +158,7 @@ def update_shard(st: BlockEKFState, z, mask, idf, R, *, axis: str = "map"):
     Pmp_local = lax.dynamic_slice(
         st.Ppm, (jnp.zeros_like(row0), row0), (3, rows_local)
     ).T                                                   # (rows_local, 3)
-    Pmm_f = st.Pmm[:, fcols]                              # (rows_local, nz, 2)
+    Pmm_f = st.Pmm[:, fcols].astype(dtype)                # (rows_local, nz, 2)
     PHt_m = jnp.einsum("rk,nok->rno", Pmp_local, Hp, precision=_HI)
     PHt_m = PHt_m + jnp.einsum("rnk,nok->rno", Pmm_f, Hf, precision=_HI)
     PHt_m = PHt_m.reshape(rows_local, m2)
@@ -195,7 +197,9 @@ def update_shard(st: BlockEKFState, z, mask, idf, R, *, axis: str = "map"):
 
     Ppp = st.Ppp - jnp.matmul(W1_p, W1_p.T, precision=_HI)
     Ppm = st.Ppm - jnp.matmul(W1_p, W1_m.T, precision=_HI)
-    Pmm = st.Pmm - jnp.matmul(W1_m_local, W1_m.T, precision=_HI)
+    Pmm = (st.Pmm.astype(dtype)
+           - jnp.matmul(W1_m_local, W1_m.T, precision=_HI)
+           ).astype(st.Pmm.dtype)
     return BlockEKFState(pose=pose, fm=fm, Ppp=Ppp, Ppm=Ppm, Pmm=Pmm, n=st.n)
 
 
@@ -254,14 +258,15 @@ def add_features_shard(st: BlockEKFState, z, mask, R, *, axis: str = "map"):
     # Rows we own: global row id -> local.
     lrow = gcols - row0
     lrow = jnp.where((lrow >= 0) & (lrow < rows_local), lrow, rows_local)
-    Pmm = st.Pmm.at[lrow, :].set(A_flat, mode="drop")
+    mdt = st.Pmm.dtype
+    Pmm = st.Pmm.at[lrow, :].set(A_flat.astype(mdt), mode="drop")
 
     # Our column slice of every new column: A_map sliced over the global map
     # axis to our row range, transposed.
     A_local_cols = lax.dynamic_slice(
         A_flat, (jnp.zeros_like(row0), row0), (2 * max_new, rows_local)
     ).T                                               # (rows_local, 2*max_new)
-    Pmm = Pmm.at[:, gcols].set(A_local_cols, mode="drop")
+    Pmm = Pmm.at[:, gcols].set(A_local_cols.astype(mdt), mode="drop")
 
     # Pairwise new-feature blocks (replicated math, owner writes rows).
     B = jnp.einsum("iok,kl,jpl->iojp", Gv, st.Ppp, Gv, precision=_HI)
@@ -269,7 +274,8 @@ def add_features_shard(st: BlockEKFState, z, mask, R, *, axis: str = "map"):
                    precision=_HI)
     B = B.at[jnp.arange(max_new), :, jnp.arange(max_new), :].add(D)
     B2 = B.reshape(2 * max_new, 2 * max_new)
-    Pmm = Pmm.at[lrow[:, None], gcols[None, :]].set(B2, mode="drop")
+    Pmm = Pmm.at[lrow[:, None], gcols[None, :]].set(B2.astype(mdt),
+                                                    mode="drop")
 
     n_new = jnp.minimum(st.n + jnp.sum(mi, dtype=st.n.dtype), cap)
     return st._replace(fm=fm, Ppm=Ppm, Pmm=Pmm, n=n_new.astype(st.n.dtype))

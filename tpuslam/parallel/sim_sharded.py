@@ -48,11 +48,31 @@ def sim_state_specs(axis: str = "map") -> ShardedSimState:
     )
 
 
-def init_sharded_sim_state(cfg: SimConfig, waypoints, dtype=jnp.float32):
+def init_sharded_sim_state(cfg: SimConfig, waypoints, dtype=jnp.float32,
+                           map_dtype=None):
+    """`map_dtype` (e.g. jnp.bfloat16) selects the STORAGE dtype of the
+    row-sharded landmark-landmark block Pmm; all algebra still runs in
+    `dtype` (tiles stream at storage dtype, accumulate in `dtype`, round
+    on write).  Halves the dominant memory term: at 100k landmarks Pmm is
+    160 GB in f32 vs 80 GB in bf16.
+
+    CAVEAT — bounded horizon.  Rounding every Pmm write to bf16 perturbs a
+    matrix that the Kalman downdate drives toward singularity; the
+    perturbation's most-negative eigenvalue scales with the number of
+    correlated entries per row (Gershgorin), so the covariance eventually
+    goes indefinite and the update Cholesky NaNs — measured at ~55 epochs
+    on a 1k-landmark course (cap 1024) regardless of the S-jitter guard.
+    Use for bounded windows (checkpoint + re-project to f32 to reset), or
+    keep f32 storage for long runs: 100k landmarks in f32 fits one v5p
+    host (8 x 95 GB) — see PERF.md.  Validated-horizon equivalence test:
+    tests/test_sim_sharded.py::test_sharded_run_bf16_map_storage."""
     from tpuslam.parallel.ekf_sharded import from_dense
 
     st = init_sim_state(cfg, waypoints, dtype)
-    return ShardedSimState(vehicle=st.vehicle, ekf=from_dense(st.ekf))
+    ekf = from_dense(st.ekf)
+    if map_dtype is not None:
+        ekf = ekf._replace(Pmm=ekf.Pmm.astype(map_dtype))
+    return ShardedSimState(vehicle=st.vehicle, ekf=ekf)
 
 
 def associate_shard(st: BlockEKFState, z, z_mask, R, gate1, gate2,
@@ -77,11 +97,13 @@ def associate_shard(st: BlockEKFState, z, z_mask, R, gate1, gate2,
     P3f = lax.dynamic_slice(
         st.Ppm, (jnp.zeros_like(row0), row0), (3, rows_local)
     ).reshape(3, cap_local, 2).transpose(1, 0, 2)          # (cap_local, 3, 2)
-    # Feature 2x2 diag blocks from our Pmm rows (global column offset row0).
-    lrow = 2 * jnp.arange(cap_local)
-    rpairs = jnp.stack([lrow, lrow + 1], axis=-1)          # local rows
-    cpairs = rpairs + row0                                  # global cols
-    Pff = st.Pmm[rpairs[:, :, None], cpairs[:, None, :]]   # (cap_local, 2, 2)
+    # Feature 2x2 diag blocks from our Pmm rows (fused mask-reduce — no
+    # dynamic-index gather, see ekf_fused_sharded.local_diag_blocks).
+    from tpuslam.parallel.ekf_fused_sharded import local_diag_blocks
+
+    Pff = local_diag_blocks(
+        st.Pmm, f0, st.pose.dtype
+    )                                                       # (cap_local, 2, 2)
 
     slot_active = (f0 + jnp.arange(cap_local)) < st.n
     nis_l, nd_l = pair_scores(

@@ -88,7 +88,10 @@ def landmark_sweep(caps=(64, 256, 1024), n_epochs=30, extent_per_cap=0.4):
         cfg = SimConfig(scene=scene, capacity=cap, max_obs=32)
         wp = make_grid_course(extent, 5)
         lm = make_landmarks(scene, seed=4)
-        ticks, upd, ms = ekf_throughput(cfg, wp, lm, n_epochs)
+        # Small caps need more epochs per run: the marginal signal must
+        # exceed the tunnel's ms-scale timing noise.
+        n_ep = n_epochs * max(1, 1024 // cap)
+        ticks, upd, ms = ekf_throughput(cfg, wp, lm, n_ep)
         rows.append({"capacity": cap, "ticks_per_s": ticks,
                      "updates_per_s": upd, "ms_per_epoch": ms})
     return rows

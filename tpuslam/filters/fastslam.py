@@ -30,8 +30,6 @@ from jax import lax
 from tpuslam.assoc.nn import decide
 from tpuslam.core.geometry import mpi_to_pi
 from tpuslam.core.motion import step_vehicle
-from tpuslam.core.observation import predict_observation_xy
-
 _HI = lax.Precision.HIGHEST
 
 _INF = jnp.inf
@@ -95,23 +93,46 @@ def predict_particles(st: PFState, speed, gamma, Q, wheelbase, dt, key,
     return st._replace(poses=poses)
 
 
+def _obs_components(pose, fx, fy):
+    """Range-bearing prediction + feature Jacobian, scalar-unrolled.
+
+    Same math as core.observation.predict_observation_xy's (zp, Hf), kept
+    as flat component vectors: under a 10k-particle vmap, stacked 2x2
+    blocks turn every downstream product into millions of padded tiny
+    dot_generals (~100x off TPU roofline — same lesson as graph/ba_large);
+    components stay elementwise on the VPU."""
+    dx = fx - pose[0]
+    dy = fy - pose[1]
+    d2 = jnp.maximum(dx * dx + dy * dy, 1e-12)
+    d = jnp.sqrt(d2)
+    zr = d
+    zb = jnp.arctan2(dy, dx) - pose[2]
+    return zr, zb, (dx / d, dy / d, -dy / d2, dx / d2)
+
+
 def _particle_scores(pose, fm, fP, n, z, z_mask, R):
     """(nis, nd) score matrices for ONE particle: (max_nz, cap).
 
     S = Hf Pf Hf' + R (feature-only covariance — the particle pose is a
     sample, not a distribution)."""
     cap = fm.shape[0]
-    zp, _, Hf = jax.vmap(lambda f: predict_observation_xy(pose, f))(fm)
-    S = jnp.einsum("jok,jkl,jpl->jop", Hf, fP, Hf, precision=_HI) + R[None]
+    zr, zb, (h00, h01, h10, h11) = _obs_components(pose, fm[:, 0], fm[:, 1])
+    p00, p01, p11 = fP[:, 0, 0], fP[:, 0, 1], fP[:, 1, 1]
 
-    a, b = S[:, 0, 0], S[:, 0, 1]
-    c, d = S[:, 1, 0], S[:, 1, 1]
+    t00 = h00 * p00 + h01 * p01
+    t01 = h00 * p01 + h01 * p11
+    t10 = h10 * p00 + h11 * p01
+    t11 = h10 * p01 + h11 * p11
+    a = t00 * h00 + t01 * h01 + R[0, 0]
+    b = t00 * h10 + t01 * h11 + R[0, 1]
+    c = t10 * h00 + t11 * h01 + R[1, 0]
+    d = t10 * h10 + t11 * h11 + R[1, 1]
     det = a * d - b * c
     inv_det = 1.0 / det
     logdet = jnp.log(det)
 
-    dv_r = z[:, None, 0] - zp[None, :, 0]
-    dv_b = mpi_to_pi(z[:, None, 1] - zp[None, :, 1])
+    dv_r = z[:, None, 0] - zr[None, :]
+    dv_b = mpi_to_pi(z[:, None, 1] - zb[None, :])
     nis = (
         d[None] * dv_r * dv_r - (b + c)[None] * dv_r * dv_b
         + a[None] * dv_b * dv_b
@@ -132,72 +153,111 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
     nis, nd = _particle_scores(pose, fm, fP, n, z, z_mask, R)
     idf, matched, new = decide(nis, nd, z_mask, gate1, gate2)
 
-    # --- matched: per-observation 2x2 EKF on the associated feature.
-    feats = fm[idf]
-    zp, _, Hf = jax.vmap(lambda f: predict_observation_xy(pose, f))(feats)
-    v = jnp.stack(
-        [z[:, 0] - zp[:, 0], mpi_to_pi(z[:, 1] - zp[:, 1])], axis=-1
-    )
-    Pf = fP[idf]                                          # (nz, 2, 2)
-    S = jnp.einsum("nok,nkl,npl->nop", Hf, Pf, Hf, precision=_HI) + R[None]
-    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
-    a, b_, c_, d = S[:, 0, 0], S[:, 0, 1], S[:, 1, 0], S[:, 1, 1]
-    det = a * d - b_ * c_
-    Sinv = (
-        jnp.stack(
-            [jnp.stack([d, -b_], -1), jnp.stack([-c_, a], -1)], -2
-        ) / det[:, None, None]
-    )
-    K = jnp.einsum("nkl,npl,npo->nko", Pf, Hf, Sinv, precision=_HI)       # (nz, 2, 2)
-    dmean = jnp.einsum("nko,no->nk", K, v, precision=_HI)
-    # Joseph-form-ish: P' = (I - K Hf) P (symmetrized).
-    IKH = jnp.eye(2, dtype=dtype)[None] - jnp.einsum("nko,nol->nkl", K, Hf, precision=_HI)
-    Pf_new = jnp.einsum("nkl,nlm->nkm", IKH, Pf, precision=_HI)
-    Pf_new = 0.5 * (Pf_new + jnp.swapaxes(Pf_new, -1, -2))
-
-    # Apply the updates WITHOUT scatters (vmapped per-particle scatters are
-    # the measured TPU bottleneck at 10k particles): one-hot matmul for the
-    # mean deltas, argmax-gather select for the covariances.  If two
-    # observations gate to the same feature in one epoch, mean deltas add
-    # and the first observation's posterior covariance wins — an accepted
-    # approximation of the (unspecified) reference behavior; the matched
-    # likelihoods still both weigh in.
+    # Everything below is scalar-unrolled 2x2 component algebra on flat
+    # vectors, with all per-feature reads/writes as one-hot mask-reduces:
+    # under the 10k-particle vmap, stacked-block einsums and batched
+    # gathers/scatters were the measured bottleneck (84 of the epoch's
+    # 84.6 ms at 10k particles, found by stand-in ablation).
     slots = jnp.arange(cap)
-    onehot_m = (
-        (idf[:, None] == slots[None, :]) & matched[:, None]
-    ).astype(dtype)                                    # (nz, cap)
-    fm = fm + jnp.einsum("nj,nk->jk", onehot_m, dmean, precision=_HI)
-    hit = jnp.any(onehot_m > 0, axis=0)                # (cap,)
-    sel = jnp.argmax(onehot_m, axis=0)                 # first matching obs
-    fP = jnp.where(hit[:, None, None], Pf_new[sel], fP)
+    Esel = (idf[:, None] == slots[None, :]).astype(dtype)   # (nz, cap)
+
+    def gather(xc):                      # (cap,) -> (nz,) via mask-reduce
+        return (Esel * xc[None, :]).sum(-1)
+
+    p00a, p01a, p11a = fP[:, 0, 0], fP[:, 0, 1], fP[:, 1, 1]
+    fx = gather(fm[:, 0])
+    fy = gather(fm[:, 1])
+    p00 = gather(p00a)
+    p01 = gather(p01a)
+    p11 = gather(p11a)
+
+    # --- matched: per-observation 2x2 EKF on the associated feature.
+    zr, zb, (h00, h01, h10, h11) = _obs_components(pose, fx, fy)
+    v0 = z[:, 0] - zr
+    v1 = mpi_to_pi(z[:, 1] - zb)
+
+    # HP = Hf P;  S = HP Hf' + R (symmetrized);  PHt = (HP)'.
+    t00 = h00 * p00 + h01 * p01
+    t01 = h00 * p01 + h01 * p11
+    t10 = h10 * p00 + h11 * p01
+    t11 = h10 * p01 + h11 * p11
+    s00 = t00 * h00 + t01 * h01 + R[0, 0]
+    s11 = t10 * h10 + t11 * h11 + R[1, 1]
+    s01 = 0.5 * ((t00 * h10 + t01 * h11 + R[0, 1])
+                 + (t10 * h00 + t11 * h01 + R[1, 0]))
+    det = s00 * s11 - s01 * s01
+    i00 = s11 / det
+    i01 = -s01 / det
+    i11 = s00 / det
+
+    # K = PHt Sinv (PHt = HP' so pht_kl = t_lk).
+    k00 = t00 * i00 + t10 * i01
+    k01 = t00 * i01 + t10 * i11
+    k10 = t01 * i00 + t11 * i01
+    k11 = t01 * i01 + t11 * i11
+    dm0 = k00 * v0 + k01 * v1
+    dm1 = k10 * v0 + k11 * v1
+
+    # P' = (I - K Hf) P, symmetrized.
+    kh00 = k00 * h00 + k01 * h10
+    kh01 = k00 * h01 + k01 * h11
+    kh10 = k10 * h00 + k11 * h10
+    kh11 = k10 * h01 + k11 * h11
+    pn00 = (1.0 - kh00) * p00 - kh01 * p01
+    pn11 = -kh10 * p01 + (1.0 - kh11) * p11
+    pn01 = 0.5 * (((1.0 - kh00) * p01 - kh01 * p11)
+                  + (-kh10 * p00 + (1.0 - kh11) * p01))
+
+    # Apply WITHOUT scatters: mean deltas sum by one-hot mask; the first
+    # matching observation's posterior covariance wins when two gate to
+    # the same feature in one epoch (accepted approximation of the
+    # unspecified reference behavior; both likelihoods still weigh in).
+    Em = Esel * matched[:, None].astype(dtype)              # (nz, cap)
+    fm = fm + jnp.stack(
+        [(Em * dm0[:, None]).sum(0), (Em * dm1[:, None]).sum(0)], axis=-1
+    )
+    hit = Em.sum(0) > 0
+    F = Em * (jnp.cumsum(Em, axis=0) < 1.5)                 # first match
+    q00 = (F * pn00[:, None]).sum(0)
+    q01 = (F * pn01[:, None]).sum(0)
+    q11 = (F * pn11[:, None]).sum(0)
 
     # Weight: product of matched-observation likelihoods N(v; 0, S).
-    quad = jnp.einsum("no,nop,np->n", v, Sinv, v, precision=_HI)
+    quad = i00 * v0 * v0 + 2.0 * i01 * v0 * v1 + i11 * v1 * v1
     loglik = -0.5 * (quad + jnp.log(det) + 2.0 * _LOG2PI)
     dlogw = jnp.sum(jnp.where(matched, loglik, 0.0))
 
-    # --- new features: initialize mean from the particle pose, cov from
-    # the measurement Jacobian (Gz R Gz').  Scatter-free: new slots hold
-    # exact zeros (state invariant), so the mean lands via one-hot matmul
-    # and the covariance via argmax-gather select (slots are distinct).
+    # --- new features: mean from the particle pose, cov = Gz R Gz'.
     mi = new.astype(jnp.int32)
     pos = n + jnp.cumsum(mi) - mi
     ok = new & (pos < cap)
     r, bb = z[:, 0], z[:, 1]
     s = jnp.sin(pose[2] + bb)
     c = jnp.cos(pose[2] + bb)
-    fxy = jnp.stack([pose[0] + r * c, pose[1] + r * s], axis=-1)
-    Gz = jnp.stack(
-        [jnp.stack([c, -r * s], -1), jnp.stack([s, r * c], -1)], -2
+    g00, g01 = c, -r * s
+    g10, g11 = s, r * c
+    gr00 = g00 * R[0, 0] + g01 * R[1, 0]
+    gr01 = g00 * R[0, 1] + g01 * R[1, 1]
+    gr10 = g10 * R[0, 0] + g11 * R[1, 0]
+    gr11 = g10 * R[0, 1] + g11 * R[1, 1]
+    w00 = gr00 * g00 + gr01 * g01
+    w01 = gr00 * g10 + gr01 * g11
+    w11 = gr10 * g10 + gr11 * g11
+    En = ((pos[:, None] == slots[None, :]) & ok[:, None]).astype(dtype)
+    fm = fm + jnp.stack(
+        [(En * (pose[0] + r * c)[:, None]).sum(0),
+         (En * (pose[1] + r * s)[:, None]).sum(0)], axis=-1
     )
-    P0 = jnp.einsum("nok,kl,npl->nop", Gz, R, Gz, precision=_HI)
-    onehot_n = (
-        (pos[:, None] == slots[None, :]) & ok[:, None]
-    ).astype(dtype)                                    # (nz, cap)
-    fm = fm + jnp.einsum("nj,nk->jk", onehot_n, fxy, precision=_HI)
-    hit_n = jnp.any(onehot_n > 0, axis=0)
-    sel_n = jnp.argmax(onehot_n, axis=0)
-    fP = jnp.where(hit_n[:, None, None], P0[sel_n], fP)
+    hit_n = En.sum(0) > 0
+    q00 = jnp.where(hit_n, (En * w00[:, None]).sum(0),
+                    jnp.where(hit, q00, p00a))
+    q01 = jnp.where(hit_n, (En * w01[:, None]).sum(0),
+                    jnp.where(hit, q01, p01a))
+    q11 = jnp.where(hit_n, (En * w11[:, None]).sum(0),
+                    jnp.where(hit, q11, p11a))
+    fP = jnp.stack(
+        [jnp.stack([q00, q01], -1), jnp.stack([q01, q11], -1)], -2
+    )
     n = jnp.minimum(n + jnp.sum(mi, dtype=n.dtype), cap).astype(n.dtype)
 
     return fm, fP, n, dlogw.astype(dtype)

@@ -71,3 +71,28 @@ def test_stopwatch_and_marginal():
 
     m = marginal_ms(run, 2, 6, repeats=1)
     assert 1.0 < m < 4.0
+
+
+def test_map_quality_metrics():
+    from tpuslam.bench.metrics import map_quality
+
+    true = np.array([[0.0, 0.0], [10.0, 0.0], [20.0, 0.0]])
+    # 2 estimates on landmark 0 (one duplicate), 1 good on landmark 1,
+    # 1 spurious far from everything; landmark 2 unseen.
+    est = np.array([[0.1, 0.0], [0.0, 0.3], [10.0, 0.4], [50.0, 50.0]])
+    mq = map_quality(est, true, match_radius=2.0)
+    assert mq["n_est"] == 4 and mq["n_true"] == 3
+    assert mq["n_matched_true"] == 2
+    assert mq["n_duplicates"] == 1
+    assert mq["n_spurious"] == 1
+    assert abs(mq["duplicate_rate"] - 0.25) < 1e-9
+    assert abs(mq["coverage"] - 2 / 3) < 1e-9
+    expected = np.sqrt(np.mean(np.array([0.1, 0.3, 0.4]) ** 2))
+    np.testing.assert_allclose(mq["matched_rmse"], expected, rtol=1e-9)
+
+
+def test_map_quality_empty():
+    from tpuslam.bench.metrics import map_quality
+
+    mq = map_quality(np.zeros((0, 2)), np.ones((3, 2)))
+    assert mq["n_est"] == 0 and mq["coverage"] == 0.0

@@ -282,11 +282,27 @@ def _gn_step_grid(prob: BAGridProblem, damping, chunk, psum_axis=None):
 
 
 def _fit_chunk(M: int, chunk: int) -> int:
-    """Largest power-of-two-ish chunk <= `chunk` that divides M."""
+    """Largest power-of-two-ish chunk <= `chunk` that divides M.
+
+    Warns when the fitted chunk collapses far below the request (odd/prime
+    M forces c toward 1, turning the landmark scan into up to M sequential
+    steps) — pad M instead (masked slots are exact no-ops; see
+    make_grid_ba_problem's `pad_to`)."""
     c = min(chunk, M)
     while M % c:
         c //= 2
-    return max(c, 1)
+    c = max(c, 1)
+    if c < min(chunk, M) // 8:
+        import warnings
+
+        warnings.warn(
+            f"ba_large: requested chunk {chunk} collapsed to {c} because it "
+            f"must divide M={M}; the landmark scan now runs {M // c} "
+            f"sequential steps.  Pad M to a chunk multiple "
+            f"(make_grid_ba_problem(pad_to=...)) — masked slots are no-ops.",
+            stacklevel=3,
+        )
+    return c
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3, 4))

@@ -100,6 +100,27 @@ def to_dense(state: BlockEKFState) -> EKFState:
 # --------------------------------------------------------------------------
 
 
+def local_diag_blocks(Pmm, f0, dtype):
+    """(cap_local, 2, 2) feature diagonal blocks of the row-sharded Pmm.
+
+    Two-step, both TPU-fast: (1) dynamic_slice the local diagonal square
+    (contiguous block copy — dynamic START is fine, only dynamic GATHER
+    indices degenerate), then (2) a STATIC-index 2x2-block gather, the
+    same idiom as the dense path (ekf_fused.predicted_assoc_blocks).
+    A mask-multiply reduction looks equivalent but reduces along a 2-wide
+    trailing axis — 1.5% lane utilization, measured 4.7 ms/epoch at
+    cap 1024 vs sub-0.1 ms for this form."""
+    rows_local = Pmm.shape[0]
+    cap_local = rows_local // 2
+    row0 = 2 * f0
+    sq = lax.dynamic_slice(
+        Pmm, (jnp.zeros_like(row0), row0), (rows_local, rows_local)
+    )
+    lrow = 2 * jnp.arange(cap_local)
+    pairs = jnp.stack([lrow, lrow + 1], axis=-1)       # static indices
+    return sq[pairs[:, :, None], pairs[:, None, :]].astype(dtype)
+
+
 def predict_shard(st: BlockEKFState, speed, gamma, wheelbase, Q, dt):
     """Time update — purely local (ref src/ekf.jl:8-43)."""
     phi = st.pose[2]

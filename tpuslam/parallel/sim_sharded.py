@@ -22,6 +22,7 @@ from tpuslam.config import SimConfig
 from tpuslam.parallel.ekf_sharded import (
     BlockEKFState,
     add_features_shard,
+    local_diag_blocks,
     predict_shard,
     state_specs,
     update_shard,
@@ -97,10 +98,8 @@ def associate_shard(st: BlockEKFState, z, z_mask, R, gate1, gate2,
     P3f = lax.dynamic_slice(
         st.Ppm, (jnp.zeros_like(row0), row0), (3, rows_local)
     ).reshape(3, cap_local, 2).transpose(1, 0, 2)          # (cap_local, 3, 2)
-    # Feature 2x2 diag blocks from our Pmm rows (fused mask-reduce — no
-    # dynamic-index gather, see ekf_fused_sharded.local_diag_blocks).
-    from tpuslam.parallel.ekf_fused_sharded import local_diag_blocks
-
+    # Feature 2x2 diag blocks from our Pmm rows (no dynamic-index gather,
+    # see ekf_sharded.local_diag_blocks).
     Pff = local_diag_blocks(
         st.Pmm, f0, st.pose.dtype
     )                                                       # (cap_local, 2, 2)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -189,6 +190,32 @@ def main():
         log(f"[grid-BA 1M landmarks, 64 poses] {ms_ba:.1f} ms/GN-iter "
             f"({1e3 / ms_ba:.1f} it/s); cost {c0:.2e} -> {cf:.2e}; "
             f"median landmark err {lm_err:.3f} m")
+
+        # Sharded scaling rows (VERDICT r1 #1a): code-path proxy on an
+        # 8-virtual-device CPU mesh (own subprocess — this one is bound to
+        # the TPU backend) + the analytic ICI/DCN prediction it anchors.
+        import subprocess
+        import sys as _sys
+
+        log("[sharded scaling, 8-virtual-device CPU mesh]")
+        prc = subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "scaling_cpu.py"), "1024,2048"],
+            capture_output=True, text=True, timeout=3000,
+        )
+        for line in prc.stdout.strip().splitlines():
+            log(f"  {line}")
+        if prc.returncode != 0:
+            log(f"  scaling subprocess FAILED: {prc.stderr[-500:]}")
+
+        from tpuslam.bench.comm_model import ekf_update_model
+
+        log("[comm-model prediction @ config-4 scale (cap 131072, ICI)]")
+        for d in (1, 4, 8, 16):
+            m = ekf_update_model(131072, 48, d)
+            log(f"  D={d:2d}: {m.updates_per_s:7.2f} updates/s, "
+                f"efficiency {m.efficiency:.3f}")
 
     # Health gate (VERDICT weak #3): median-of-seeds ATE and landmark-count
     # bounds so a broken association (duplicate blow-up) zeroes the headline.

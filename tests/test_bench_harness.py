@@ -96,3 +96,25 @@ def test_map_quality_empty():
 
     mq = map_quality(np.zeros((0, 2)), np.ones((3, 2)))
     assert mq["n_est"] == 0 and mq["coverage"] == 0.0
+
+
+def test_comm_model():
+    from tpuslam.bench.comm_model import (
+        ekf_update_model,
+        min_cap_for_efficiency,
+        scaling_table,
+    )
+
+    rows = scaling_table(131072, 48, (1, 2, 4, 8))
+    # Strong scaling: per-shard compute falls ~1/D.
+    assert rows[3].t_comp_s < rows[0].t_comp_s / 7.9
+    # Efficiency monotonically decreases with D but stays high at this cap.
+    effs = [r.efficiency for r in rows]
+    assert all(a >= b for a, b in zip(effs, effs[1:]))
+    assert effs[-1] > 0.95
+    # D=1 has no collectives.
+    assert rows[0].t_comm_s == 0.0 and rows[0].efficiency == 1.0
+    # The BASELINE >=70% target is reachable from a finite capacity.
+    cap = min_cap_for_efficiency(0.7, 48, 8)
+    assert ekf_update_model(cap, 48, 8).efficiency >= 0.7
+    assert ekf_update_model(cap // 2, 48, 8).efficiency < 0.7

@@ -51,3 +51,64 @@ def test_rank_k_rect_matches_ref(rng, R, C, k):
     got = rank_k_update_rect(P, Xr, Yr, Xc, Yc, block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_dot_general_3pass_accuracy(rng):
+    """The explicit 3-pass bf16 emulation (Mosaic can't lower
+    precision=HIGH) matches the f64 product to ~2^-16 relative — the same
+    error structure as XLA's Precision.HIGH."""
+    from tpuslam.kernels.mm import dot_general_3pass
+
+    a = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((256, 48)), jnp.float32)
+    got = np.asarray(dot_general_3pass(a, b, (((1,), (0,)), ((), ()))))
+    want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2.0 ** -14
+    # And clearly better than a single bf16 pass.
+    one_pass = np.asarray(
+        (a.astype(jnp.bfloat16) @ b.astype(jnp.bfloat16)).astype(jnp.float32)
+    )
+    assert rel < 0.01 * np.abs(one_pass - want).max() / np.abs(want).max()
+
+
+def test_kernels_high_precision_mode(rng, monkeypatch):
+    """Kernels compile and stay accurate with the 3-pass HIGH policy
+    (interpret mode exercises the in-kernel emulation path)."""
+    from tpuslam.kernels import dispatch
+    from tpuslam.kernels.sym_rank_k import rank_k_update_rect
+
+    monkeypatch.setenv("TPUSLAM_BIG_MATMUL_PRECISION", "high")
+    dispatch._precision_mode.cache_clear()
+    try:
+        R, C, k = (128, 256, 16)
+        P = jnp.asarray(rng.standard_normal((R, C)), jnp.float32)
+        Xr = jnp.asarray(rng.standard_normal((k, R)), jnp.float32)
+        Yr = jnp.asarray(rng.standard_normal((k, R)), jnp.float32)
+        Xc = jnp.asarray(rng.standard_normal((k, C)), jnp.float32)
+        Yc = jnp.asarray(rng.standard_normal((k, C)), jnp.float32)
+        got = np.asarray(
+            rank_k_update_rect(P, Xr, Yr, Xc, Yc, interpret=True)
+        )
+        want = (np.asarray(P, np.float64)
+                + np.asarray(Xr, np.float64).T @ np.asarray(Yc, np.float64)
+                + np.asarray(Yr, np.float64).T @ np.asarray(Xc, np.float64))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 2.0 ** -13
+    finally:
+        dispatch._precision_mode.cache_clear()
+
+
+def test_auto_precision_thresholds():
+    from jax import lax
+
+    from tpuslam.kernels.dispatch import (
+        AUTO_HIGH_MIN_DIM,
+        big_matmul_precision,
+    )
+
+    assert big_matmul_precision(AUTO_HIGH_MIN_DIM - 1) == (
+        lax.Precision.HIGHEST
+    )
+    assert big_matmul_precision(AUTO_HIGH_MIN_DIM) == lax.Precision.HIGH
+    assert big_matmul_precision(None) == lax.Precision.HIGHEST

@@ -145,3 +145,43 @@ def test_ring_panel_exchange_matches_allgather(setup):
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(dr.P), np.asarray(da.P),
                                atol=1e-9)
+
+
+def test_fp16_map_storage_long_horizon():
+    """Reduced-precision Pmm storage past the old NaN horizon (VERDICT r1
+    next-step #7): fp16 storage + default periodic PSD repair + the
+    S-Cholesky retry ladder keeps a 220-epoch 1k-landmark run (the config
+    that NaN'd at ~45 epochs in round 1) finite AND tracking.
+
+    bf16 (u = 2^-9) remains a documented negative result: its quantization
+    exceeds the posterior PSD margin and the trajectory diverges even
+    though the ladder keeps it finite — see
+    parallel/ekf_fused_sharded.psd_repair_local and PERF.md."""
+    from tpuslam.bench.metrics import ate_rmse
+    from tpuslam.config import SceneConfig, SimConfig
+    from tpuslam.parallel.sim_sharded import make_sharded_run_rng
+    from tpuslam.sim.scene import make_grid_course
+
+    scene = SceneConfig(xmin=0.0, xmax=300.0, ymin=0.0, ymax=300.0,
+                        n_landmarks=1000, legacy_integer_landmarks=False)
+    cfg = SimConfig(scene=scene, capacity=1024, max_obs=48)
+    wp = jnp.asarray(make_grid_course(300.0, n_per_side=6, inset=0.1),
+                     jnp.float32)
+    lm = jnp.asarray(make_landmarks(scene, seed=4), jnp.float32)
+    mesh = make_slam_mesh(n_map=8)
+    N = 220
+
+    runner = make_sharded_run_rng(cfg, mesh, N)  # default repair cadence
+    st0 = init_sharded_sim_state(cfg, wp, dtype=jnp.float32,
+                                 map_dtype=jnp.float16)
+    st, recs = jax.block_until_ready(runner(wp, lm, st0, jax.random.key(7)))
+
+    sp = np.asarray(recs.slam_pose).reshape(-1, 3)
+    assert np.isfinite(sp).all()
+    a = np.asarray(recs.active).reshape(-1)
+    tt = np.asarray(recs.true_pose).reshape(-1, 3)
+    ate = ate_rmse(sp[a], tt[a])
+    assert np.isfinite(ate) and ate < 4.0  # f32 run: ~1.9 m on this course
+    dense = to_dense(st.ekf)
+    assert np.isfinite(np.asarray(dense.x)).all()
+    assert int(st.ekf.n) > 150  # the map actually built out

@@ -47,11 +47,11 @@ def _make_kernel(dim: int, block: int):
         col = j * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         p_m = jnp.where(col < dim, p_ref[:], 0.0)
         hdT_m = jnp.where(col.T < dim, hdT_ref[:], 0.0)
-        acc_pht_ref[:] += jax.lax.dot_general(
-            p_m, hdT_m,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=big_matmul_precision(),
+        from tpuslam.kernels.mm import dot_general_prec
+
+        acc_pht_ref[:] += dot_general_prec(
+            p_m, hdT_m, (((1,), (0,)), ((), ())),
+            big_matmul_precision(dim),
         )
 
         @pl.when(j == nb_c - 1)
@@ -125,5 +125,5 @@ def pht_and_s(P, Hd, *, block: int = 512, interpret: bool = False):
 
 def pht_and_s_ref(P, Hd):
     """Pure-XLA reference."""
-    PHt = jnp.matmul(P, Hd.T, precision=big_matmul_precision())
+    PHt = jnp.matmul(P, Hd.T, precision=big_matmul_precision(P.shape[0]))
     return PHt, jnp.matmul(Hd, PHt, precision=_HI)

@@ -30,25 +30,23 @@ from tpuslam.kernels.dispatch import big_matmul_precision
 _HI = lax.Precision.HIGHEST
 
 
-def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
-    # out = P + Xi^T @ Yj + Yi^T @ Xj   for this (i, j) tile.
-    # P may be stored in a reduced dtype (bf16 map blocks for the
-    # 100k-landmark memory budget); the accumulation always runs in f32 and
-    # the result is rounded back to the storage dtype on write.
-    prec = big_matmul_precision()
-    acc = jax.lax.dot_general(
-        xi_ref[:], yj_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
-    acc = acc + jax.lax.dot_general(
-        yi_ref[:], xj_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
-    out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(out_ref.dtype)
+def _make_rect_kernel(dim: int):
+    def _kernel(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
+        # out = P + Xi^T @ Yj + Yi^T @ Xj   for this (i, j) tile.
+        # P may be stored in a reduced dtype (bf16 map blocks for the
+        # 100k-landmark memory budget); the accumulation always runs in f32
+        # and the result is rounded back to the storage dtype on write.
+        from tpuslam.kernels.mm import dot_general_prec
+
+        prec = big_matmul_precision(dim)
+        dims = (((0,), (0,)), ((), ()))
+        acc = dot_general_prec(xi_ref[:], yj_ref[:], dims, prec)
+        acc = acc + dot_general_prec(yi_ref[:], xj_ref[:], dims, prec)
+        out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
+            out_ref.dtype
+        )
+
+    return _kernel
 
 
 def _pad_panels(X, Y):
@@ -98,9 +96,14 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel,
+        _make_rect_kernel(max(R, C)),
         out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
         grid_spec=grid_spec,
+        # In-place: each (i, j) tile is read once and written once at the
+        # same position, so P can alias the output — halves peak HBM for
+        # the epoch's dominant buffer (P is the working set; this is what
+        # lets a 1-chip demo hold a ~10 GB covariance).
+        input_output_aliases={0: 0},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * R * C * k,
@@ -111,7 +114,7 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
 
 
 def rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc):
-    prec = big_matmul_precision()
+    prec = big_matmul_precision(max(P.shape))
     acc = (jnp.matmul(Xr.T, Yc, precision=prec)
            + jnp.matmul(Yr.T, Xc, precision=prec))
     return (P.astype(acc.dtype) + acc).astype(P.dtype)
@@ -127,5 +130,5 @@ def symmetric_rank_k_update(P, X, Y, *, block: int = 512,
 
 def symmetric_rank_k_update_ref(P, X, Y):
     """Pure-XLA reference (used on CPU and for equivalence tests)."""
-    Delta = jnp.matmul(X.T, Y, precision=big_matmul_precision())
+    Delta = jnp.matmul(X.T, Y, precision=big_matmul_precision(P.shape[0]))
     return P + Delta + Delta.T

@@ -40,13 +40,80 @@ from tpuslam.parallel.ekf_sharded import (  # noqa: F401  (re-export)
 
 _HI = lax.Precision.HIGHEST
 
+# Unit roundoff of bfloat16 (8-bit mantissa): |fl(x) - x| <= u |x|.
+BF16_UNIT_ROUNDOFF = 2.0 ** -9
+
+
+def psd_repair_local(Pmm, *, axis: str = "map", scale: float = 8.0,
+                     rho: float | None = None):
+    """Periodic PSD repair for reduced-precision Pmm storage (runs inside
+    shard_map on the local row block).
+
+    Rounding every write of Pmm to bf16/fp16 perturbs a matrix whose PSD
+    margin the Kalman downdate drives toward zero (tight posterior
+    correlations: |P_ij| -> sqrt(P_ii P_jj)); once u|P_ij| exceeds that
+    margin the stored covariance goes indefinite, and the negative mode is
+    then AMPLIFIED by subsequent updates (measured: min-eig -1e-4 at epoch
+    ~15 doubling every ~2 epochs to Cholesky NaN at ~45, cap 1024 bf16 —
+    see PERF.md).  Repair enforces two invariants every true covariance
+    satisfies, in one cheap pass over the local block:
+
+      1. diagonal floor:  P_ii <- max(P_ii, 0) + scale * u * sum_j |P_ij|
+         (Gershgorin bound of the rounding perturbation, admitted as
+         landmark process noise — strictly conservative);
+      2. (rho != None) Cauchy-Schwarz clamp: |P_ij| <= rho sqrt(P_ii P_jj).
+         OFF by default: measured HARMFUL on the 1k-landmark course (ATE
+         2.1 -> 9.0 at fp16) — true SLAM correlations approach 1, so the
+         clamp repeatedly injects decorrelation error larger than the
+         quantization it guards against.  Kept as an option for workloads
+         with weaker correlations.
+
+    Measured outcome (240-epoch 1k-landmark course, repair every 16 +
+    the S-Cholesky retry ladder): fp16 storage (u = 2^-11) tracks the f32
+    run (ATE 2.1 vs 1.9); bf16 (u = 2^-9) stays finite but diverges —
+    bf16's quantization exceeds the posterior PSD margin, a documented
+    negative result (PERF.md).  Collective cost: ONE all_gather of the
+    (2cap,) repaired diagonal per repair (only when rho is set), amortized
+    over `repair_every` epochs.
+    """
+    rows_local, cap2 = Pmm.shape
+    u = BF16_UNIT_ROUNDOFF if Pmm.dtype == jnp.bfloat16 else float(
+        jnp.finfo(Pmm.dtype).eps) / 2
+    Pf = Pmm.astype(jnp.float32)
+    # Self-heal: zero any non-finite entries (fp16 overflow) so poison
+    # lives at most `repair_every` epochs; the S-ladder skips updates in
+    # the meantime (fused_epoch_apply_shard).
+    Pf = jnp.where(jnp.isfinite(Pf), Pf, 0.0)
+    row0 = lax.axis_index(axis) * rows_local
+    on_diag = (jnp.arange(cap2)[None, :]
+               == (row0 + jnp.arange(rows_local))[:, None])
+
+    d_loc = jnp.sum(Pf * on_diag, axis=1)                # (rows_local,)
+    rowsum = jnp.sum(jnp.abs(Pf), axis=1)
+    d_new = jnp.maximum(d_loc, 0.0) + (scale * u) * rowsum
+
+    if rho is not None:
+        d_glob = lax.all_gather(d_new, axis, tiled=True)  # (cap2,)
+        bound = rho * jnp.sqrt(
+            jnp.maximum(d_new, 0.0)[:, None]
+            * jnp.maximum(d_glob, 0.0)[None, :]
+        )
+        Pf = jnp.clip(Pf, -bound, bound)
+    out = jnp.where(on_diag, d_new[:, None], Pf)
+    return out.astype(Pmm.dtype)
+
 
 def _pmm_matmul(Pmm, B, dtype):
     """Pmm @ B with the Pmm operand streamed at its STORAGE dtype (bf16 map
     blocks must not round-trip through an f32 copy); accumulation in
-    `dtype`.  Exact HIGHEST-precision path when storage == compute."""
+    `dtype`.  When storage == compute this is one of the two dim^2-sized
+    products of the epoch, so it follows the big-matmul precision policy
+    (kernels/dispatch.big_matmul_precision)."""
     if Pmm.dtype == dtype:
-        return jnp.matmul(Pmm, B, precision=_HI)
+        from tpuslam.kernels.dispatch import big_matmul_precision
+
+        return jnp.matmul(Pmm, B,
+                          precision=big_matmul_precision(Pmm.shape[1]))
     return lax.dot_general(
         Pmm, B.astype(Pmm.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -236,20 +303,53 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     ).reshape(m2, m2)
     S = S + C + RR
     S = 0.5 * (S + S.T)
-    if st.Pmm.dtype != dtype:
-        # Reduced-precision map storage: P carries ~2^-8 relative
-        # quantization noise, so S = H P H' + R can go (slightly) non-PD
-        # once the covariance has grown — observed as a Cholesky NaN after
-        # ~60 epochs at cap 1024.  Inflate by a few ulps of S's own scale
-        # (a scale-free, conservative bias: equivalent to admitting the
-        # quantization as extra measurement noise).
-        S = S + (2.0 ** -7) * jnp.diag(jnp.diag(S))
 
     # ---- gain panels.
-    L = jnp.linalg.cholesky(S)
+    if st.Pmm.dtype == dtype:
+        # Full-precision storage: plain Cholesky (exact-equivalence path).
+        L = jnp.linalg.cholesky(S)
+    else:
+        # Reduced-precision map storage: Pmm carries relative quantization
+        # noise u (2^-9 bf16 / 2^-11 fp16), which enters S through the map
+        # contribution C = Hdm Pmm Hdm' and can tip S non-PD when the true
+        # PSD margin is small (tight posterior correlations).  Escalating
+        # jitter ladder sized from C's own quantization bound (ADVICE r1:
+        # Cholesky-failure retry instead of one unconditional inflation):
+        # try progressively larger diagonal inflations; if even the
+        # largest fails, SKIP this epoch's measurement update entirely
+        # (prediction-only epoch — always a valid filter step).  Pmm's own
+        # accumulating indefiniteness is separately bounded by the
+        # periodic psd_repair_local pass (sim_sharded.repair_every).
+        u_q = BF16_UNIT_ROUNDOFF
+        Dq = jnp.diag(jnp.abs(jnp.diag(C)))
+        mq = jnp.mean(jnp.abs(jnp.diag(C))) * jnp.eye(m2, dtype=dtype)
+        ladder = [
+            (8.0 * u_q, 0.0),
+            (2.0 ** -2, 2.0 ** -6),
+            (1.0, 2.0 ** -2),
+        ]
+        Ls = [jnp.linalg.cholesky(S + a * Dq + b * mq) for a, b in ladder]
+        oks = [jnp.isfinite(Lk).all() for Lk in Ls]
+        L = Ls[-1]
+        for Lk, okk in zip(reversed(Ls[:-1]), reversed(oks[:-1])):
+            L = jnp.where(okk, Lk, L)
+        any_ok = oks[0] | oks[1] | oks[2]
+        # Sanitize so downstream solves stay finite; gains are zeroed.
+        L = jnp.where(any_ok, L, jnp.eye(m2, dtype=dtype))
+        actf = actf * any_ok.astype(dtype)
+
     W1_p = solve_triangular(L, PHt_p.T, lower=True).T * actf
     W1_m_local = solve_triangular(L, PHt_m.T, lower=True).T * actf
-    u = solve_triangular(L, v.reshape(m2), lower=True)
+    u = solve_triangular(L, v.reshape(m2), lower=True) * actf
+
+    if st.Pmm.dtype != dtype:
+        # Self-healing guard: a poisoned Pmm entry (fp16 overflow -> inf,
+        # or NaN in a row not observed this epoch, which S cannot see)
+        # must not spread into the full-precision fm/Ppm/pose blocks.
+        # Non-finite gain rows become no-ops; Pmm itself is cleaned by the
+        # next psd_repair_local pass.
+        W1_m_local = jnp.where(jnp.isfinite(W1_m_local), W1_m_local, 0.0)
+        W1_p = jnp.where(jnp.isfinite(W1_p), W1_p, 0.0)
 
     if panel_exchange == "allgather":
         W1_m = lax.all_gather(W1_m_local, axis, axis=0,

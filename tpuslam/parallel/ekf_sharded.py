@@ -113,9 +113,15 @@ def local_diag_blocks(Pmm, f0, dtype):
     rows_local = Pmm.shape[0]
     cap_local = rows_local // 2
     row0 = 2 * f0
-    sq = lax.dynamic_slice(
-        Pmm, (jnp.zeros_like(row0), row0), (rows_local, rows_local)
-    )
+    if rows_local == Pmm.shape[1]:
+        # Single shard: the local diagonal square IS the whole Pmm — skip
+        # the dynamic_slice, which would otherwise materialize a full
+        # Pmm-sized copy (both a bandwidth pass and +1x peak HBM).
+        sq = Pmm
+    else:
+        sq = lax.dynamic_slice(
+            Pmm, (jnp.zeros_like(row0), row0), (rows_local, rows_local)
+        )
     lrow = 2 * jnp.arange(cap_local)
     pairs = jnp.stack([lrow, lrow + 1], axis=-1)       # static indices
     return sq[pairs[:, :, None], pairs[:, None, :]].astype(dtype)

@@ -202,18 +202,49 @@ def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
     return st, recs
 
 
+def _maybe_repair(st: ShardedSimState, e, repair_every, axis: str):
+    """Periodic PSD repair of reduced-precision Pmm storage (trace-time
+    no-op for full-precision storage) — see ekf_fused_sharded.psd_repair_local
+    for the bound.  `repair_every=None` selects the default (32 epochs for
+    reduced-precision storage, off otherwise); 0 disables."""
+    from tpuslam.parallel.ekf_fused_sharded import psd_repair_local
+
+    reduced = st.ekf.Pmm.dtype != st.ekf.pose.dtype
+    if repair_every is None:
+        # Default cadence measured on the 220-epoch 1k-landmark course
+        # (fp16 storage): every-4 -> ATE 1.35 m (f32 run: 1.88), every-8 ->
+        # 4.1, every-16 -> 6.1.  Cost: one extra pass over Pmm per 4
+        # epochs ~= +8% of the epoch's 3-pass covariance traffic.
+        repair_every = 4 if reduced else 0
+    if not repair_every or not reduced:
+        return st
+
+    def rep(s):
+        return s._replace(ekf=s.ekf._replace(
+            Pmm=psd_repair_local(s.ekf.Pmm, axis=axis)
+        ))
+
+    return lax.cond(
+        (e % repair_every) == repair_every - 1, rep, lambda s: s, st
+    )
+
+
 def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map",
-                     panel_exchange: str = "allgather"):
+                     panel_exchange: str = "allgather",
+                     repair_every: int | None = None):
     """Whole-run scan (array-noise mode) inside one shard_map."""
     sp = sim_state_specs(axis)
 
     def run(waypoints, landmarks, st0, noises):
-        return lax.scan(
-            lambda s, nz: epoch_shard(cfg, waypoints, landmarks, s, nz,
-                                      axis=axis,
-                                      panel_exchange=panel_exchange),
-            st0, noises,
-        )
+        n_epochs = noises[0].shape[0]
+
+        def body(s, enz):
+            e, nz = enz
+            s, recs = epoch_shard(cfg, waypoints, landmarks, s, nz,
+                                  axis=axis, panel_exchange=panel_exchange)
+            return _maybe_repair(s, e, repair_every, axis), recs
+
+        return lax.scan(body, st0, (jnp.arange(n_epochs), noises))
 
     return jax.jit(
         jax.shard_map(
@@ -227,7 +258,8 @@ def make_sharded_run(cfg: SimConfig, mesh, axis: str = "map",
 
 def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
                          axis: str = "map",
-                         panel_exchange: str = "allgather"):
+                         panel_exchange: str = "allgather",
+                         repair_every: int | None = None):
     """Whole-run scan with on-device noise (production/bench mode)."""
     sp = sim_state_specs(axis)
 
@@ -239,7 +271,7 @@ def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
         sig_obs = jnp.asarray(
             [cfg.noise.sigma_range, cfg.noise.sigma_bearing], dtype)
 
-        def body(carry, _):
+        def body(carry, e):
             st, k = carry
             k, k1, k2 = jax.random.split(k, 3)
             ctrl = jax.random.normal(
@@ -248,9 +280,9 @@ def make_sharded_run_rng(cfg: SimConfig, mesh, n_epochs: int,
             st, recs = epoch_shard(cfg, waypoints, landmarks, st,
                                    (ctrl, obs), axis=axis,
                                    panel_exchange=panel_exchange)
-            return (st, k), recs
+            return (_maybe_repair(st, e, repair_every, axis), k), recs
 
-        (st, _), recs = lax.scan(body, (st0, key), None, length=n_epochs)
+        (st, _), recs = lax.scan(body, (st0, key), jnp.arange(n_epochs))
         return st, recs
 
     return jax.jit(

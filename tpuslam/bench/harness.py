@@ -152,6 +152,117 @@ def ba_large_throughput(n_landmarks=1_000_000, n_poses=64, n_obs=4,
     return per_iter * 1e3, c0, c3, float(np.median(lm_err))
 
 
+def fastslam_accuracy(cfg, waypoints, landmarks, n_particles, n_epochs,
+                      seed=0, dtype=None):
+    """FastSLAM closed-loop accuracy (VERDICT r1 #6): ATE of the
+    weighted-mean pose estimate + map quality of the max-weight particle.
+
+    Returns {"ate", "n_landmarks", **map_quality}."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.bench.metrics import ate_rmse, map_quality
+    from tpuslam.sim.pf_simulator import init_pf_sim_state, run_epochs_pf
+
+    dtype = dtype or jnp.float32
+    wp = jnp.asarray(waypoints, dtype)
+    lm = jnp.asarray(landmarks, dtype)
+    st0 = init_pf_sim_state(cfg, wp, n_particles, jax.random.key(seed),
+                            dtype=dtype)
+    st, recs = jax.block_until_ready(
+        run_epochs_pf(cfg, wp, lm, st0, n_epochs, jax.random.key(seed + 1))
+    )
+    a = np.asarray(recs.active).reshape(-1)
+    tt = np.asarray(recs.true_pose).reshape(-1, 3)[a]
+    ss = np.asarray(recs.slam_pose).reshape(-1, 3)[a]
+    best = int(np.argmax(np.asarray(st.pf.logw)))
+    nb = int(np.asarray(st.pf.n)[best])
+    est = np.asarray(st.pf.fm)[best, :nb]
+    mq = map_quality(est, np.asarray(lm))
+    return {"ate": float(ate_rmse(ss, tt)), "n_landmarks": nb, **mq}
+
+
+def sharded_bigcap_throughput(cap, n_map=None, max_obs=48, n_epochs=4,
+                              map_dtype=None, dtype=None):
+    """Sharded engine at multi-GB covariance on the real device(s)
+    (VERDICT r1 #1b: the sharded path's reason to exist is Pmm too large
+    for comfort on one chip; demonstrate it at scale).
+
+    Builds a synthetic already-full map state (cap active landmarks — the
+    worst case: every Pmm row live) and times the fused sharded epoch.
+    Returns {"capacity", "pmm_gb", "ms_per_epoch", "updates_per_s"}."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.config import SceneConfig, SimConfig
+    from tpuslam.parallel.mesh import make_slam_mesh
+    from tpuslam.parallel.sim_sharded import make_sharded_run_rng
+    from tpuslam.sim.scene import make_grid_course, make_landmarks
+
+    from tpuslam.core.geometry import initial_pose
+    from tpuslam.parallel.ekf_sharded import BlockEKFState
+    from tpuslam.parallel.sim_sharded import ShardedSimState
+    from tpuslam.sim.simulator import VehicleState
+
+    dtype = dtype or jnp.float32
+    map_dtype = map_dtype or dtype
+    n_map = n_map or len(jax.devices())
+    extent = max(200.0, 0.1 * cap)
+    scene = SceneConfig(
+        xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
+        n_landmarks=min(cap, 4096), legacy_integer_landmarks=False,
+    )
+    cfg = SimConfig(scene=scene, capacity=cap, max_obs=max_obs)
+    wp = jnp.asarray(make_grid_course(extent, 4), dtype)
+    lm = jnp.asarray(make_landmarks(scene, seed=4), dtype)
+    mesh = make_slam_mesh(n_map=n_map)
+
+    # Build the block state DIRECTLY at capacity (init_sharded_sim_state
+    # goes through a dense (3+2cap)^2 intermediate — prohibitive at
+    # multi-GB Pmm).  Every slot pre-activated with a 0.1*I marginal on a
+    # uniform grid: the worst case, every Pmm row live in the epoch's
+    # covariance algebra.  Pmm is generated on-device already sharded.
+    pose = initial_pose(wp)
+    vehicle = VehicleState(
+        pose=pose, gamma=jnp.zeros((), dtype),
+        waypoint_id=jnp.zeros((), jnp.int32),
+        nlaps=jnp.asarray(cfg.nlaps, jnp.int32),
+    )
+    side = int(np.ceil(np.sqrt(cap)))
+    gx, gy = np.meshgrid(np.linspace(0, extent, side),
+                         np.linspace(0, extent, side))
+    fm = np.stack([gx.ravel(), gy.ravel()], -1)[:cap].astype(np.float32)
+    pmm_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("map", None))
+    Pmm = jax.jit(
+        lambda: 0.1 * jnp.eye(2 * cap, dtype=map_dtype),
+        out_shardings=pmm_sharding,
+    )()
+    ekf = BlockEKFState(
+        pose=pose,
+        fm=jnp.asarray(fm, dtype),
+        Ppp=jnp.zeros((3, 3), dtype),
+        Ppm=jnp.zeros((3, 2 * cap), dtype),
+        Pmm=Pmm,
+        n=jnp.asarray(cap, jnp.int32),
+    )
+    st0 = ShardedSimState(vehicle=vehicle, ekf=ekf)
+
+    runner = make_sharded_run_rng(cfg, mesh, n_epochs)
+    runner3 = make_sharded_run_rng(cfg, mesh, 3 * n_epochs)
+
+    def run(n, seed, _r={n_epochs: runner, 3 * n_epochs: runner3}):
+        out = _r[n](wp, lm, st0, jax.random.key(seed))
+        jax.block_until_ready(out)
+        np.asarray(out[0].ekf.pose[0])
+
+    per_epoch = _marginal_time(run, n_epochs, 3 * n_epochs)
+    pmm_gb = (2 * cap) ** 2 * jnp.dtype(map_dtype).itemsize / 2 ** 30
+    return {"capacity": cap, "n_map": n_map, "pmm_gb": float(pmm_gb),
+            "ms_per_epoch": per_epoch * 1e3,
+            "updates_per_s": 1.0 / per_epoch}
+
+
 def monte_carlo_nees(cfg, waypoints, landmarks, n_runs=20, n_epochs=30,
                      dtype=None, seed0=0):
     """Mean position NEES over Monte-Carlo runs at the final step.

@@ -90,7 +90,7 @@ def fused_epoch_apply(
     from tpuslam.kernels.dispatch import use_pallas_for
     from tpuslam.kernels.pht_s import pht_and_s, pht_and_s_ref
 
-    if use_pallas_for(dim):
+    if use_pallas_for(dim, "pht_s"):
         PHt0, S0 = pht_and_s(P, Hd)
     else:
         PHt0, S0 = pht_and_s_ref(P, Hd)
@@ -175,7 +175,7 @@ def fused_epoch_apply(
 
     X = jnp.concatenate([U, E, W1.T], axis=0)          # (3 + 2m + m2, dim)
     Y = jnp.concatenate([Z2, A_aug, -0.5 * W1.T], axis=0)
-    if use_pallas_for(dim):
+    if use_pallas_for(dim, "rank_k"):
         P_new = symmetric_rank_k_update(P, X, Y)
     else:
         P_new = symmetric_rank_k_update_ref(P, X, Y)

@@ -1,0 +1,362 @@
+"""Hierarchical submap EKF-SLAM — the unbounded-landmark (config 5)
+architecture.
+
+The dense joint covariance is the EKF's scaling wall: at 1M landmarks P is
+(2e6)^2 * 4 B = 16 TB — no amount of sharding makes the O(n^2) per-update
+covariance pass affordable.  The classical, provably-consistent escape is
+*submapping* (Atlas / constrained local submap filter): run the full dense
+EKF only over a bounded LOCAL map, and maintain global consistency with a
+pose graph over submap anchor frames — which is exactly the batch-BA
+machinery this package already scales to 1M landmarks (graph/ba_large.py,
+82 ms/GN-iter measured on one chip).
+
+Structure:
+
+  * Each submap is a standard EKF-SLAM filter (the existing fused engine,
+    filters/ + sim/) run in its OWN anchor frame: the filter restarts at
+    pose (0,0,0) with P = 0, so per-update cost is O((2C)^2) for submap
+    capacity C — independent of the total landmark count.  Because each
+    local filter consumes disjoint measurement noise and starts with zero
+    uncertainty, local maps are statistically independent (the CLSF
+    argument), which is what makes the later join consistent.
+  * Closing a submap (map filled past `close_frac`, checked between
+    jit-compiled chunks — the same host-side recompile-tier pattern as
+    state.grow_capacity) freezes its landmark means + 2x2 marginals and
+    records the final local pose as the relative transform to the next
+    anchor (with its 3x3 covariance).
+  * The anchor graph is a BAProblem (graph/ba.py): anchors are pose
+    nodes, consecutive-anchor transforms are odometry factors, and every
+    submap landmark becomes a range-bearing observation factor from its
+    anchor (a landmark at local (x, y) IS a (hypot, atan2) observation
+    from the anchor pose — no new factor type needed).  Landmarks seen
+    from several submaps are matched in the global frame (native C++ grid
+    index, tpuslam_grid_match) and share one landmark node: those are the
+    loop-closure constraints.
+  * gauss_newton / the sharded + grid variants (ba_sharded.py,
+    ba_large.py) then optimize anchors + global landmarks; the global map
+    is each submap re-anchored at its optimized pose.
+
+Approximations (documented, standard for submap methods): per-factor
+noise is summarized by shared sqrt-information matrices (BAProblem keeps
+one (3,3) odometry and one (2,2) observation whitener — we use the means
+over submaps); within-submap landmark correlations beyond the marginals
+are dropped at closure.  Both err toward conservative weighting of the
+global solve, not the local filters.
+
+Reference anchor: the reference caps out at ~35 landmarks in one dense
+EKF (src/ekf.jl grows x/P dynamically); this layer is the TPU-native
+answer to scaling that same filter math to unbounded maps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- SE(2)
+
+def se2_compose(a, b):
+    """a ⊕ b: pose b expressed in frame a, returned in a's parent frame."""
+    ca, sa = np.cos(a[2]), np.sin(a[2])
+    return np.array([
+        a[0] + ca * b[0] - sa * b[1],
+        a[1] + sa * b[0] + ca * b[1],
+        _wrap(a[2] + b[2]),
+    ])
+
+
+def se2_transform_points(pose, pts_local):
+    """(N, 2) points from `pose`'s frame to its parent frame."""
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    R = np.array([[c, -s], [s, c]])
+    return pts_local @ R.T + pose[:2]
+
+
+def _wrap(phi):
+    return (phi + np.pi) % (2 * np.pi) - np.pi
+
+
+# ------------------------------------------------------------ containers
+
+class ClosedSubmap(NamedTuple):
+    """One frozen local map (all arrays are host-side NumPy)."""
+
+    anchor0: np.ndarray    # (3,) global anchor estimate when OPENED
+    lm_local: np.ndarray   # (n, 2) landmark means, anchor frame
+    lm_cov: np.ndarray     # (n, 2, 2) landmark marginal covariances
+    rel_pose: np.ndarray   # (3,) final local pose == transform to next anchor
+    rel_cov: np.ndarray    # (3, 3) covariance of rel_pose
+
+
+class SubmapRun(NamedTuple):
+    submaps: list            # list[ClosedSubmap]
+    slam_pose: np.ndarray    # (T, 3) ONLINE global pose estimate per tick
+    true_pose: np.ndarray    # (T, 3)
+    active: np.ndarray       # (T,) bool — course not yet finished
+    anchors: np.ndarray      # (S, 3) dead-reckoned anchor chain (pre-BA)
+
+
+# ------------------------------------------------------------ the driver
+
+class SubmapSLAM:
+    """Host-side submap orchestrator around the jitted closed-loop engine.
+
+    cfg.capacity is the LOCAL submap capacity C; per-update cost is
+    O((2C)^2) regardless of how many landmarks the whole run maps.  Chunks
+    of `chunk_epochs` epochs run as one compiled executable
+    (sim.run_epochs_rng — static (cfg, n) so every chunk reuses it);
+    closure decisions happen on host between chunks.
+    """
+
+    def __init__(self, cfg, close_frac: float = 0.75,
+                 chunk_epochs: int = 8, dtype=None):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.close_frac = close_frac
+        self.chunk_epochs = chunk_epochs
+        self.dtype = dtype or jnp.float32
+
+    def run(self, waypoints, landmarks, n_epochs: int, key) -> SubmapRun:
+        import jax
+        import jax.numpy as jnp
+
+        from tpuslam.filters.state import make_ekf_state
+        from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
+
+        cfg, dtype = self.cfg, self.dtype
+        wp = jnp.asarray(waypoints, dtype)
+        lm = jnp.asarray(landmarks, dtype)
+        st = init_sim_state(cfg, wp, dtype=dtype)
+        # Global frame of the whole run == frame of the first anchor; the
+        # filter starts at the true pose (ref ekfslam-sim.jl:42), so
+        # anchor_0 is the initial pose and the first local filter runs at
+        # origin-with-zero-P in that frame.
+        anchor = np.asarray(st.vehicle.pose, np.float64)
+        st = st._replace(ekf=make_ekf_state(np.zeros(3), cfg.capacity, dtype))
+
+        origin = jnp.zeros(3, dtype)
+        submaps: list[ClosedSubmap] = []
+        anchors = [anchor.copy()]
+        close_at = int(self.close_frac * cfg.capacity)
+        slam_g, true_g, act_g = [], [], []
+
+        done = 0
+        while done < n_epochs:
+            n_chunk = min(self.chunk_epochs, n_epochs - done)
+            key, kc = jax.random.split(key)
+            st, recs = run_epochs_rng(cfg, wp, lm, st, n_chunk, kc)
+            done += n_chunk
+
+            sp = np.asarray(recs.slam_pose, np.float64).reshape(-1, 3)
+            # Compose each local pose with the (fixed-within-chunk) anchor.
+            c, s = np.cos(anchor[2]), np.sin(anchor[2])
+            R = np.array([[c, -s], [s, c]])
+            gp = np.concatenate(
+                [sp[:, :2] @ R.T + anchor[:2],
+                 _wrap(sp[:, 2:] + anchor[2])], axis=1,
+            )
+            slam_g.append(gp)
+            true_g.append(np.asarray(recs.true_pose).reshape(-1, 3))
+            act_g.append(np.asarray(recs.active).reshape(-1))
+
+            if int(st.ekf.n) >= close_at and done < n_epochs:
+                st, anchor = self._close(st, anchor, submaps, dtype)
+                anchors.append(anchor.copy())
+
+        # Final (partial) submap.
+        self._close(st, anchor, submaps, dtype)
+
+        return SubmapRun(
+            submaps=submaps,
+            slam_pose=np.concatenate(slam_g),
+            true_pose=np.concatenate(true_g),
+            active=np.concatenate(act_g),
+            anchors=np.asarray(anchors),
+        )
+
+    def _close(self, st, anchor, submaps, dtype):
+        """Freeze the active local map; restart the filter at the new
+        anchor's origin."""
+        import jax.numpy as jnp
+
+        from tpuslam.filters.state import make_ekf_state
+
+        n = int(st.ekf.n)
+        x = np.asarray(st.ekf.x, np.float64)
+        P = np.asarray(st.ekf.P, np.float64)
+        lm_local = x[3:3 + 2 * n].reshape(n, 2)
+        idx = 3 + 2 * np.arange(n)
+        lm_cov = np.stack([
+            P[np.ix_((i, i + 1), (i, i + 1))] for i in idx
+        ]) if n else np.zeros((0, 2, 2))
+
+        rel = x[:3].copy()
+        rel[2] = _wrap(rel[2])
+        submaps.append(ClosedSubmap(
+            anchor0=np.asarray(anchor, np.float64),
+            lm_local=lm_local, lm_cov=lm_cov,
+            rel_pose=rel, rel_cov=P[:3, :3].copy(),
+        ))
+        new_anchor = se2_compose(anchor, rel)
+        st = st._replace(
+            ekf=make_ekf_state(np.zeros(3), self.cfg.capacity, dtype)
+        )
+        return st, new_anchor
+
+
+# ------------------------------------------------- anchor-graph assembly
+
+def match_submap_landmarks(submaps, anchors, radius: float):
+    """Greedy sequential cross-submap landmark association.
+
+    Transforms each submap's landmarks into the global frame with the
+    given anchors and matches them against the running global table via
+    the native grid index (radius-NN).  Returns (gids, table):
+    gids[i] is an (n_i,) int array of global landmark ids for submap i;
+    table is the (M, 2) global position table (first-seen estimate).
+    """
+    from tpuslam.native import SpatialIndex
+
+    table: list[np.ndarray] = []
+    table_arr = np.zeros((0, 2))
+    gids = []
+    for sm, a in zip(submaps, anchors):
+        g = se2_transform_points(a, sm.lm_local)
+        if len(table_arr) and len(g):
+            idx = SpatialIndex(table_arr, cell_size=max(radius, 1.0)).match(
+                g, radius
+            )
+        else:
+            idx = np.full(len(g), -1, dtype=np.int64)
+        ids = np.empty(len(g), np.int64)
+        for j in range(len(g)):
+            if idx[j] >= 0:
+                ids[j] = idx[j]
+            else:
+                ids[j] = len(table)
+                table.append(g[j])
+        gids.append(ids)
+        table_arr = np.asarray(table).reshape(-1, 2)
+    return gids, table_arr
+
+
+def build_anchor_ba(submaps, *, match_radius: float = 2.0, dtype=None,
+                    anchors=None):
+    """Pack the closed submaps into a BAProblem over (anchors, landmarks).
+
+    Returns (prob, gids).  Solve with graph.ba.gauss_newton (or the
+    sharded/grid variants at scale), then feed poses back through
+    assemble_global_map.  Anchors default to the dead-reckoned chain
+    (pass refined ones to re-match after an optimization round); the
+    gauge is fixed by the prior on anchor 0.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.graph.ba import BAProblem
+
+    dtype = dtype or (np.float64 if jax.config.jax_enable_x64
+                      else np.float32)
+    S = len(submaps)
+    if anchors is None:
+        anchors = [submaps[0].anchor0]
+        for sm in submaps[:-1]:
+            anchors.append(se2_compose(anchors[-1], sm.rel_pose))
+    anchors = np.asarray(anchors)
+
+    gids, table = match_submap_landmarks(submaps, anchors, match_radius)
+    M = len(table)
+
+    # Odometry factors between consecutive anchors; shared whitener from
+    # the mean relative-pose covariance (documented approximation).
+    odo_i = np.arange(S - 1, dtype=np.int32)
+    odo_j = odo_i + 1
+    odo_meas = np.asarray([sm.rel_pose for sm in submaps[:-1]]
+                          ).reshape(-1, 3)
+    covs = np.asarray([sm.rel_cov for sm in submaps[:-1]])
+    mean_cov = (covs.mean(0) if len(covs)
+                else np.eye(3) * 1e-4)
+    mean_cov = mean_cov + 1e-8 * np.eye(3)
+    odo_W = np.linalg.cholesky(np.linalg.inv(mean_cov)).T
+
+    # Observation factors: landmark at local (x, y) == range-bearing
+    # (hypot, atan2) measured from the anchor pose (which is (0,0,0) in
+    # its own frame).  Shared whitener from the median marginal sigma
+    # mapped to (range, bearing) at the median range.
+    obs_p, obs_l, obs_z = [], [], []
+    sig2, rngs = [], []
+    for i, sm in enumerate(submaps):
+        for j in range(len(sm.lm_local)):
+            lx, ly = sm.lm_local[j]
+            r = float(np.hypot(lx, ly))
+            obs_p.append(i)
+            obs_l.append(int(gids[i][j]))
+            obs_z.append([r, float(np.arctan2(ly, lx))])
+            sig2.append(np.trace(sm.lm_cov[j]) / 2)
+            rngs.append(r)
+    Fz = len(obs_p)
+    sig = float(np.sqrt(np.median(sig2))) if Fz else 0.1
+    med_r = float(np.median(rngs)) if Fz else 10.0
+    sig = max(sig, 1e-3)
+    obs_W = np.diag([1.0 / sig, med_r / sig])
+
+    prob = BAProblem(
+        poses=jnp.asarray(anchors, dtype),
+        landmarks=jnp.asarray(table, dtype),
+        lm_mask=jnp.ones(M, bool),
+        odo_i=jnp.asarray(odo_i),
+        odo_j=jnp.asarray(odo_j),
+        odo_meas=jnp.asarray(odo_meas, dtype),
+        odo_mask=jnp.ones(max(S - 1, 0), bool),
+        odo_sqrt_info=jnp.asarray(odo_W, dtype),
+        obs_p=jnp.asarray(np.asarray(obs_p, np.int32)),
+        obs_l=jnp.asarray(np.asarray(obs_l, np.int32)),
+        obs_z=jnp.asarray(np.asarray(obs_z, dtype).reshape(Fz, 2)),
+        obs_mask=jnp.ones(Fz, bool),
+        obs_sqrt_info=jnp.asarray(obs_W, dtype),
+        prior_sqrt_info=jnp.eye(3, dtype=dtype) * 1e3,
+    )
+    return prob, gids
+
+
+def optimize_anchor_graph(submaps, *, rounds: int = 3, iters: int = 15,
+                          match_radius: float = 2.0, dtype=None):
+    """Alternate landmark matching and Gauss-Newton over the anchor graph.
+
+    Round 1 matches with dead-reckoned anchors; later rounds re-match with
+    the optimized ones, merging duplicate landmark nodes that initial
+    anchor drift kept apart (the loop-closure constraints tighten as the
+    estimate improves — an ICP-style EM alternation).  Returns
+    (prob_opt, gids, anchors_opt)."""
+    from tpuslam.graph.ba import gauss_newton
+
+    anchors = None
+    prob = gids = None
+    for _ in range(max(rounds, 1)):
+        prob, gids = build_anchor_ba(
+            submaps, match_radius=match_radius, dtype=dtype,
+            anchors=anchors,
+        )
+        prob, _ = gauss_newton(prob, iters)
+        anchors = np.asarray(prob.poses)
+    return prob, gids, anchors
+
+
+def assemble_global_map(submaps, anchors, gids, n_landmarks: int):
+    """Merge the submap maps under the given anchor poses.
+
+    Each global landmark's position is the inverse-variance-weighted mean
+    of its cross-submap sightings.  Returns (M, 2)."""
+    pos = np.zeros((n_landmarks, 2))
+    wsum = np.zeros(n_landmarks)
+    for sm, a, ids in zip(submaps, np.asarray(anchors), gids):
+        g = se2_transform_points(a, sm.lm_local)
+        w = 1.0 / np.maximum(
+            np.trace(sm.lm_cov, axis1=1, axis2=2), 1e-9
+        ) if len(sm.lm_cov) else np.zeros(0)
+        np.add.at(pos, ids, g * w[:, None])
+        np.add.at(wsum, ids, w)
+    return pos / np.maximum(wsum, 1e-12)[:, None]

@@ -12,11 +12,28 @@ import functools
 import os
 
 
-def use_pallas_for(dim: int, min_dim: int = 1024) -> bool:
-    """Pallas only where the covariance is big enough for the streaming
-    kernels to beat XLA's fusions — small problems pay kernel-launch and
-    (substantial, on this stack) Mosaic compile costs for nothing."""
-    return dim >= min_dim and use_pallas()
+# Per-kernel dim thresholds above which the Pallas implementation beats
+# XLA's fusion, measured on the real chip (scripts/roofline_tpu.py; PERF.md
+# "kernel rooflines", v5e, both precision modes):
+#   * pht_and_s: XLA wins at EVERY size (one fused matmul pair reaching
+#     90% of the HBM roofline at dim 16k vs the Pallas kernel's 62%) —
+#     threshold inf, i.e. the Pallas kernel is kept for study/regression
+#     but never auto-dispatched;
+#   * rank_k:    Pallas wins from dim ~8k (430 vs 309 GB/s at 16k in HIGH:
+#     the in-place aliased single pass beats XLA, which materializes
+#     P + Delta into a fresh buffer).
+_PALLAS_MIN_DIM = {"pht_s": float("inf"), "rank_k": 8192}
+
+
+def use_pallas_for(dim: int, kernel: str = "rank_k") -> bool:
+    """True when the Pallas implementation of `kernel` is the measured
+    winner at covariance dimension `dim` (and we're on a TPU backend).
+    TPUSLAM_FORCE_PALLAS=1 overrides the thresholds (benchmarks/tests)."""
+    if not use_pallas():
+        return False
+    if os.environ.get("TPUSLAM_FORCE_PALLAS") == "1":
+        return True
+    return dim >= _PALLAS_MIN_DIM[kernel]
 
 
 @functools.lru_cache(None)

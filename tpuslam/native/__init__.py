@@ -46,6 +46,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
     ]
+    lib.tpuslam_grid_match.restype = None
+    lib.tpuslam_grid_match.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.tpuslam_ba_factors.restype = ctypes.c_int64
     lib.tpuslam_ba_factors.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -105,6 +110,32 @@ class SpatialIndex:
             dx * dx + dy * dy < sensor_range**2
         )
         return np.nonzero(vis)[0].astype(np.int64)
+
+    def match(self, queries, radius: float) -> np.ndarray:
+        """Nearest indexed point within `radius` per query point.
+
+        queries: (Q, 2).  Returns (Q,) int64 indices into the indexed
+        points, -1 where nothing lies within the radius.  Lowest index
+        wins exact distance ties.  Used for cross-submap landmark
+        association (graph/submaps.py)."""
+        q = np.ascontiguousarray(queries, dtype=np.float64).reshape(-1, 2)
+        if self._handle is not None:
+            out = np.empty(len(q), dtype=np.int64)
+            _LIB.tpuslam_grid_match(
+                self._handle,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(q), float(radius),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return out
+        # NumPy fallback — identical semantics (argmin keeps lowest index
+        # on ties).
+        if len(self.points) == 0:
+            return np.full(len(q), -1, dtype=np.int64)
+        d2 = ((q[:, None, :] - self.points[None, :, :]) ** 2).sum(-1)
+        best = np.argmin(d2, axis=1)
+        hit = d2[np.arange(len(q)), best] < radius * radius
+        return np.where(hit, best, -1).astype(np.int64)
 
     def ba_factors(self, poses, sensor_range: float, noise=None,
                    sigma_r: float = 0.0, sigma_b: float = 0.0,

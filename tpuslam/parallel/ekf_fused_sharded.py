@@ -416,8 +416,12 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     B = B + jnp.eye(max_nz, dtype=dtype)[:, None, :, None] * D[:, :, None, :]
     A_aug = A2 + 0.5 * jnp.matmul(B.reshape(m2, m2), Em, precision=_HI)
 
-    # ---- the per-shard rectangular rank-k application.
-    rect = (rank_k_update_rect if use_pallas_for(rows_local)
+    # ---- the per-shard rectangular rank-k application.  Dispatch on the
+    # block's larger side (cap2): the Pallas win is about streaming volume
+    # + in-place aliasing, which the (rows_local, cap2) rect shares with
+    # the square kernel the threshold was measured on.
+    rect = (rank_k_update_rect
+            if use_pallas_for(max(rows_local, cap2), "rank_k")
             else rank_k_update_rect_ref)
 
     if panel_exchange == "allgather":

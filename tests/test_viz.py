@@ -61,7 +61,7 @@ def test_server_end_to_end():
     async def scenario():
         ready = asyncio.Event()
         server = asyncio.create_task(
-            serve(cfg, host="127.0.0.1", ws_port=8765, http_port=8766,
+            serve(cfg, host="127.0.0.1", port=8765,
                   seed=3, ready_event=ready)
         )
         await asyncio.wait_for(ready.wait(), 30)
@@ -99,7 +99,7 @@ def test_server_end_to_end():
 
             def fetch(path):
                 return urllib.request.urlopen(
-                    f"http://127.0.0.1:8766{path}", timeout=10
+                    f"http://127.0.0.1:8765{path}", timeout=10
                 ).read().decode()
 
             html = await asyncio.to_thread(fetch, "/")

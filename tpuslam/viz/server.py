@@ -96,10 +96,20 @@ class SimSession:
         return int(self.state.vehicle.waypoint_id) == -1
 
 
-async def sim_loop(session: SimSession, ws):
-    """Single-owner simulation task: streams telemetry until course end."""
+async def sim_loop(session: SimSession, ws, tick_cov: str = "epoch"):
+    """Single-owner simulation task: streams telemetry until course end.
+
+    tick_cov: what pose covariance the per-tick state/vehicle-ellipse
+    messages carry.  "epoch" (default) sends the epoch-end value — the
+    engine materializes P once per observation epoch by design (telemetry
+    decimation; the pose MEAN is exact per tick).  "interp" linearly
+    blends the 3x3 pose block from the previous epoch's end to this one's
+    per tick — display-only smoothing approximating the reference's
+    per-tick predict growth (ekf.jl predict runs every tick there).
+    """
     cfg = session.cfg
     session.running = True
+    P_prev = None
     try:
         while not session.done:
             if session.paused:
@@ -110,16 +120,21 @@ async def sim_loop(session: SimSession, ws):
             x = np.asarray(st.ekf.x)
             P = np.asarray(st.ekf.P)
             n = int(st.ekf.n)
+            if P_prev is None or P_prev.shape != P.shape:
+                P_prev = P
             nticks = int(active.sum())
             for t in range(nticks):
                 # Per-tick messages (ref monitor, wsserver.jl:31-66): tracks,
                 # state and vehicle-ellipse every tick; lidar + feature
-                # ellipses only on update ticks.  NOTE: within an epoch the
-                # covariance shown is the epoch-end value — the engine
-                # materializes P once per observation epoch by design
-                # (telemetry decimation; the pose mean is exact per tick).
+                # ellipses only on update ticks.
+                if tick_cov == "interp" and nticks > 1:
+                    w = (t + 1) / nticks
+                    Pt = P.copy()
+                    Pt[:3, :3] = (1 - w) * P_prev[:3, :3] + w * P[:3, :3]
+                else:
+                    Pt = P
                 await ws.send(protocol.tracks_msg(true_p[t], slam_p[t]))
-                await ws.send(protocol.state_msg(slam_p[t], P, n))
+                await ws.send(protocol.state_msg(slam_p[t], Pt, n))
                 if t == cfg.substeps_per_obs - 1:
                     nz = int(z_mask.sum())
                     if nz > 0:
@@ -129,14 +144,15 @@ async def sim_loop(session: SimSession, ws):
                         if n > 0:
                             await ws.send(
                                 protocol.feature_ellipses_msg(x, P, n))
-                await ws.send(protocol.vehicle_ellipse_msg(slam_p[t], P))
+                await ws.send(protocol.vehicle_ellipse_msg(slam_p[t], Pt))
                 # Real-time pacing (ref ekfslam-sim.jl:133-137).
                 await asyncio.sleep(cfg.dt)
+            P_prev = P
     finally:
         session.running = False
 
 
-async def ws_handler(ws, session_factory, sessions):
+async def ws_handler(ws, session_factory, sessions, tick_cov="epoch"):
     """Ref command set: wsserver.jl:151-182."""
     import json
 
@@ -159,7 +175,8 @@ async def ws_handler(ws, session_factory, sessions):
         elif text == "start":
             session.paused = False
             if sim_task is None or sim_task.done():
-                sim_task = asyncio.create_task(sim_loop(session, ws))
+                sim_task = asyncio.create_task(
+                    sim_loop(session, ws, tick_cov=tick_cov))
         elif text == "reset":
             session.reset()
         elif text == "pause":
@@ -170,47 +187,47 @@ async def ws_handler(ws, session_factory, sessions):
         sim_task.cancel()
 
 
-async def http_handler(reader, writer):
-    """Minimal static file server with the reference's explicit allowlist
-    (wsserver.jl:192-215)."""
-    try:
-        request = (await reader.readline()).decode()
-        while (await reader.readline()) not in (b"\r\n", b""):
-            pass
-        parts = request.split()
-        path = parts[1] if len(parts) > 1 else "/"
-        if path == "/":
-            path = "/index.html"
-        rel = path.lstrip("/")
-        if rel in ALLOWED_FILES:
-            full = os.path.join(STATIC_DIR, rel)
-            with open(full, "rb") as f:
-                body = f.read()
-            ctype = ("text/html" if rel.endswith(".html")
-                     else "application/javascript")
-            head = (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
-                    f"Content-Length: {len(body)}\r\n\r\n").encode()
-            writer.write(head + body)
-        else:
-            writer.write(b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")
-        await writer.drain()
-    finally:
-        writer.close()
+def _static_response(conn, request):
+    """Serve the static files on the SAME port as the WebSocket (ref
+    wsserver.jl:221-223 runs one port-8000 server for both), with the
+    reference's explicit allowlist (wsserver.jl:192-215).  Returning None
+    lets a WebSocket upgrade proceed to the handshake."""
+    if request.headers.get("Upgrade", "").lower() == "websocket":
+        return None
+    from websockets.datastructures import Headers
+    from websockets.http11 import Response
+
+    path = request.path.split("?")[0]
+    rel = ("index.html" if path == "/" else path.lstrip("/"))
+    if rel in ALLOWED_FILES:
+        with open(os.path.join(STATIC_DIR, rel), "rb") as f:
+            body = f.read()
+        ctype = ("text/html" if rel.endswith(".html")
+                 else "application/javascript")
+        return Response(
+            200, "OK",
+            Headers({"Content-Type": ctype,
+                     "Content-Length": str(len(body))}),
+            body,
+        )
+    return Response(404, "Not Found",
+                    Headers({"Content-Length": "0"}), b"")
 
 
-async def serve(cfg, host="0.0.0.0", ws_port=8000, http_port=8001, seed=3,
-                ready_event=None):
+async def serve(cfg, host="0.0.0.0", port=8000, seed=3,
+                ready_event=None, tick_cov="epoch"):
+    """One port for HTTP + WS, like the reference (wsserver.jl:221-223)."""
     import websockets
 
     sessions = []
     factory = functools.partial(SimSession, cfg, seed=seed)
-    http_server = await asyncio.start_server(http_handler, host, http_port)
     async with websockets.serve(
         functools.partial(ws_handler, session_factory=factory,
-                          sessions=sessions),
-        host, ws_port,
+                          sessions=sessions, tick_cov=tick_cov),
+        host, port,
+        process_request=_static_response,
     ):
-        print(f"HTTP on :{http_port}  WS on :{ws_port}")
+        print(f"HTTP + WS on :{port}")
         if ready_event is not None:
             ready_event.set()
         await asyncio.Future()  # run forever
@@ -218,14 +235,15 @@ async def serve(cfg, host="0.0.0.0", ws_port=8000, http_port=8001, seed=3,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ws-port", type=int, default=8000)
-    ap.add_argument("--http-port", type=int, default=8001)
+    ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--landmarks", type=int, default=10)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--tick-cov", choices=("epoch", "interp"),
+                    default="epoch")
     args = ap.parse_args()
     cfg = course1_config(n_landmarks=args.landmarks)
-    asyncio.run(serve(cfg, ws_port=args.ws_port, http_port=args.http_port,
-                      seed=args.seed))
+    asyncio.run(serve(cfg, port=args.port, seed=args.seed,
+                      tick_cov=args.tick_cov))
 
 
 if __name__ == "__main__":

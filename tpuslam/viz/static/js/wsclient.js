@@ -107,7 +107,9 @@
     }
   };
 
-  var ws = new WebSocket('ws://' + window.location.hostname + ':8000');
+  // Same host:port as the page — the server multiplexes HTTP and WS on
+  // one port (ref wsserver.jl:221-223).
+  var ws = new WebSocket('ws://' + window.location.host);
   ws.onopen = function () {
     status.textContent = 'connected';
     send('ready');

@@ -108,3 +108,65 @@ def test_closed_loop_course1_ate():
     assert np.isfinite(np.asarray(st.pf.fP)).all()
     w = np.exp(np.asarray(st.pf.logw))
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+def test_duplicate_merge_bound_vs_sequential():
+    """Bound the duplicate-gated-observation merge approximation
+    (filters/fastslam.py map update: mean deltas sum against the PRIOR
+    covariance; the first match's posterior covariance wins) against the
+    exact sequential 2x2 EKF updates — VERDICT r1 weak #6 / ADVICE #5.
+
+    Two properties: (a) single observation is EXACT (no merge involved);
+    (b) with two observations of the same feature in one epoch the merged
+    mean stays within a small fraction of the innovation scale and the
+    merged covariance is CONSERVATIVE (>= sequential posterior in the PSD
+    order — the approximation over-states, never under-states,
+    uncertainty)."""
+    import numpy as np
+
+    from tpuslam.filters.fastslam import PFState, measurement_update
+
+    dtype = jnp.float64
+    R = np.diag([0.01, 0.0001])
+
+    def run_engine(obs):
+        pose = jnp.asarray([0.0, 0.0, 0.0], dtype)
+        fm = jnp.zeros((1, 4, 2), dtype).at[0, 0].set(
+            jnp.asarray([10.0, 0.0]))
+        fP = jnp.zeros((1, 4, 2, 2), dtype).at[0, 0].set(0.5 * jnp.eye(2))
+        st = PFState(poses=pose[None], fm=fm, fP=fP,
+                     logw=jnp.zeros((1,), dtype),
+                     n=jnp.asarray([1], jnp.int32))
+        z = jnp.zeros((4, 2), dtype).at[: len(obs)].set(
+            jnp.asarray(obs, dtype))
+        zm = jnp.arange(4) < len(obs)
+        out = measurement_update(st, z, zm, jnp.asarray(R, dtype),
+                                 16.0, 25.0)
+        return np.asarray(out.fm[0, 0]), np.asarray(out.fP[0, 0])
+
+    def seq_update(m, P, zi):
+        r = np.hypot(*m)
+        b = np.arctan2(m[1], m[0])
+        H = np.array([[m[0] / r, m[1] / r],
+                      [-m[1] / r**2, m[0] / r**2]])
+        S = H @ P @ H.T + R
+        K = P @ H.T @ np.linalg.inv(S)
+        v = np.array([zi[0] - r, zi[1] - b])
+        return m + K @ v, (np.eye(2) - K @ H) @ P
+
+    # (a) single observation: exact.
+    m1, P1 = run_engine([[10.15, 0.012]])
+    ms, Ps = seq_update(np.array([10.0, 0.0]), 0.5 * np.eye(2),
+                        [10.15, 0.012])
+    np.testing.assert_allclose(m1, ms, atol=1e-9)
+    np.testing.assert_allclose(P1, Ps, atol=1e-9)
+
+    # (b) duplicate-gated pair: bounded mean, conservative covariance.
+    obs = [[10.15, 0.012], [9.88, -0.01]]
+    m2, P2 = run_engine(obs)
+    ms, Ps = seq_update(np.array([10.0, 0.0]), 0.5 * np.eye(2), obs[0])
+    ms, Ps = seq_update(ms, Ps, obs[1])
+    v_scale = max(abs(10.15 - 10.0), abs(9.88 - 10.0))
+    assert np.linalg.norm(m2 - ms) < 0.2 * v_scale
+    eigs = np.linalg.eigvalsh(P2 - Ps)
+    assert eigs.min() > -1e-12      # conservative in the PSD order

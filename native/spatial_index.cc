@@ -62,7 +62,15 @@ void* tpuslam_grid_build(const double* pts, int64_t n, double cell_size) {
   if (n == 0) { xmin = ymin = 0; xmax = ymax = 1; }
   g->xmin = xmin;
   g->ymin = ymin;
-  g->inv_cell = 1.0 / cell_size;
+  // Cap the table at ~16M cells: a single outlier point (e.g. a diverged
+  // estimate fed by a caller) must not stretch the span into a
+  // petabyte-sized allocation.  Wider cells only mean more candidates
+  // scanned per query — results are identical.
+  double cs = cell_size;
+  while (((xmax - xmin) / cs + 2.0) * ((ymax - ymin) / cs + 2.0) > 16e6) {
+    cs *= 2.0;
+  }
+  g->inv_cell = 1.0 / cs;
   g->nx = std::max(1, static_cast<int>((xmax - xmin) * g->inv_cell) + 1);
   g->ny = std::max(1, static_cast<int>((ymax - ymin) * g->inv_cell) + 1);
 

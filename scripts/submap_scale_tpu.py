@@ -56,8 +56,13 @@ def main():
                       "extent": extent, "cap": cap,
                       "course_rows": n_side}), flush=True)
 
+    # Density-aware match gate: must stay well under the landmark spacing
+    # or cross-submap matching merges NEIGHBORS (wrong loop closures).
+    spacing = extent / max(np.sqrt(n_lm), 1.0)
+    radius = float(min(3.0, 0.4 * spacing))
     chunk = 128
-    slam = SubmapSLAM(cfg, close_frac=0.75, chunk_epochs=chunk)
+    slam = SubmapSLAM(cfg, close_frac=0.75, chunk_epochs=chunk,
+                      match_radius=radius)
 
     # Instrumented run: wrap the runner loop to time chunks.
     t_hist = []
@@ -103,7 +108,8 @@ def main():
 
     t0 = time.time()
     prob, gids, anchors = optimize_anchor_graph(
-        run.submaps, rounds=3, iters=15, match_radius=3.0,
+        run.submaps, rounds=3, iters=15, match_radius=radius,
+        init_anchors=[sm.anchor0 for sm in run.submaps],
     )
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids,

@@ -230,7 +230,15 @@ class SubmapSLAM:
                         match_radius=self.match_radius,
                         init_anchors=[sm.anchor0 for sm in submaps],
                     )
-                    anchor = se2_compose(opt[-1], submaps[-1].rel_pose)
+                    cand = se2_compose(opt[-1], submaps[-1].rel_pose)
+                    # Sanity gate: an online GN round destabilized by
+                    # wrong matches (dense fields, gate ~ landmark
+                    # spacing) must not poison the chain — accept the
+                    # correction only if finite and modest.
+                    if (np.isfinite(cand).all()
+                            and np.linalg.norm(cand[:2] - anchor[:2])
+                            < 20.0 * self.match_radius):
+                        anchor = cand
                 anchors.append(anchor.copy())
 
         # Final (partial) submap.
@@ -458,8 +466,15 @@ def optimize_anchor_graph(submaps, *, rounds: int = 3, iters: int = 15,
             ctx = jax.default_device(jax.devices("cpu")[0])
         except RuntimeError:
             pass
-    anchors = (np.asarray(init_anchors) if init_anchors is not None
-               else None)
+    import jax.numpy as jnp
+
+    if init_anchors is not None:
+        anchors = np.asarray(init_anchors)
+    else:
+        anchors = [submaps[0].anchor0]
+        for sm in submaps[:-1]:
+            anchors.append(se2_compose(anchors[-1], sm.rel_pose))
+        anchors = np.asarray(anchors)
     prob = gids = None
     with ctx:
         for _ in range(max(rounds, 1)):
@@ -468,7 +483,15 @@ def optimize_anchor_graph(submaps, *, rounds: int = 3, iters: int = 15,
                 anchors=anchors,
             )
             prob, _ = gauss_newton(prob, iters)
-            anchors = np.asarray(prob.poses)
+            new = np.asarray(prob.poses)
+            if not np.isfinite(new).all():
+                # GN blow-up (inconsistent wrong matches): keep the last
+                # finite anchors; the caller's sanity gates handle the
+                # rest.
+                prob = prob._replace(
+                    poses=jnp.asarray(anchors, prob.poses.dtype))
+                break
+            anchors = new
     return prob, gids, anchors
 
 

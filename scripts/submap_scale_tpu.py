@@ -46,8 +46,12 @@ def main():
     scene = SceneConfig(xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
                         n_landmarks=n_lm, legacy_integer_landmarks=False)
     cfg = SimConfig(scene=scene, capacity=cap, max_obs=48)
-    # Rows < 2x sensor range apart so the corridor tiles the scene.
-    n_side = max(4, int(extent / 55.0) + 1)
+    # Row spacing ~40 m (vs 30 m sensor range): a ~20 m strip of landmarks
+    # is shared between adjacent rows, so cross-row matches correct the
+    # anchor chain continuously.  55 m spacing (7 m strip) was measured
+    # insufficient: drift outran the match gate and the chain went
+    # open-loop (online ATE 71 m at 20k landmarks).
+    n_side = max(4, int(extent / 40.0) + 1)
     wp = make_grid_course(extent, n_per_side=n_side, inset=0.05)
     lm = make_landmarks(scene, seed=4)
     dev = jax.devices()[0]

@@ -219,6 +219,9 @@ class SubmapSLAM:
             true_g.append(np.asarray(recs.true_pose).reshape(-1, 3))
             act_g.append(np.asarray(recs.active).reshape(-1))
 
+            if int(st.vehicle.waypoint_id) == -1:
+                break  # course finished — further epochs are no-ops
+
             if int(st.ekf.n) >= close_at and done < n_epochs:
                 st, anchor = self._close(st, anchor, submaps, dtype)
                 if self.online_ba and len(submaps) >= 2:

@@ -181,6 +181,48 @@ void tpuslam_grid_match(const void* handle, const double* qpts, int64_t nq,
   }
 }
 
+// Like tpuslam_grid_match but skipping one excluded index per query
+// (exclude[i], or -1 for none) — the self-match case when querying an
+// index with its own points (duplicate-merge pass, graph/submaps.py).
+void tpuslam_grid_match_excl(const void* handle, const double* qpts,
+                             int64_t nq, double radius,
+                             const int64_t* exclude, int64_t* out_idx) {
+  const auto* g = static_cast<const GridIndex*>(handle);
+  const double r2 = radius * radius;
+  for (int64_t q = 0; q < nq; ++q) {
+    const double px = qpts[2 * q], py = qpts[2 * q + 1];
+    const int64_t ex = exclude ? exclude[q] : -1;
+    int cx0 = static_cast<int>((px - radius - g->xmin) * g->inv_cell);
+    int cx1 = static_cast<int>((px + radius - g->xmin) * g->inv_cell);
+    int cy0 = static_cast<int>((py - radius - g->ymin) * g->inv_cell);
+    int cy1 = static_cast<int>((py + radius - g->ymin) * g->inv_cell);
+    if (cx0 < 0) cx0 = 0;
+    if (cy0 < 0) cy0 = 0;
+    if (cx1 >= g->nx) cx1 = g->nx - 1;
+    if (cy1 >= g->ny) cy1 = g->ny - 1;
+    int64_t best = -1;
+    double best_d2 = r2;
+    for (int cy = cy0; cy <= cy1; ++cy) {
+      for (int cx = cx0; cx <= cx1; ++cx) {
+        const int64_t cell = static_cast<int64_t>(cy) * g->nx + cx;
+        for (int64_t k = g->cell_start[cell]; k < g->cell_start[cell + 1];
+             ++k) {
+          const int64_t i = g->cell_items[k];
+          if (i == ex) continue;
+          const double dx = g->pts[2 * i] - px;
+          const double dy = g->pts[2 * i + 1] - py;
+          const double d2 = dx * dx + dy * dy;
+          if (d2 < best_d2) {
+            best_d2 = d2;
+            best = i;
+          }
+        }
+      }
+    }
+    out_idx[q] = best;
+  }
+}
+
 // Batch BA observation-factor generation: for K keyframe poses (x,y,phi
 // triples), emit (pose_idx, landmark_idx, range, bearing) per visible
 // pair, with optional Gaussian noise supplied by the caller as

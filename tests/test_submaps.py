@@ -198,3 +198,29 @@ def test_submap_dense_field_matches_monolithic_quality():
     # Every landmark the vehicle could have seen is in the global map and
     # not grossly duplicated.
     assert len(gm) <= 1.25 * mq["n_matched_true"]
+
+
+def test_merge_duplicates_and_match_excluding():
+    """Union-find duplicate merge: coincident pairs collapse to weighted
+    means, isolated points survive; C++ match_excluding == NumPy fallback."""
+    from tpuslam.graph.submaps import merge_duplicates
+    from tpuslam.native import SpatialIndex
+
+    pts = np.array([[0.0, 0.0], [0.4, 0.0],      # pair A (cluster)
+                    [10.0, 10.0],                # isolated
+                    [20.0, 0.0], [20.3, 0.2]])   # pair B
+    w = np.array([1.0, 3.0, 1.0, 1.0, 1.0])
+    merged, remap = merge_duplicates(pts, weights=w, radius=1.0)
+    assert len(merged) == 3
+    assert remap[0] == remap[1] and remap[3] == remap[4]
+    assert remap[2] not in (remap[0], remap[3])
+    np.testing.assert_allclose(merged[remap[0]], [0.3, 0.0], atol=1e-12)
+
+    idx = SpatialIndex(pts, cell_size=2.0)
+    got = idx.match_excluding(pts, 1.0, np.arange(len(pts)))
+    fb = SpatialIndex.__new__(SpatialIndex)
+    fb.points = pts
+    fb._handle = None
+    want = fb.match_excluding(pts, 1.0, np.arange(len(pts)))
+    np.testing.assert_array_equal(got, want)
+    assert got[2] == -1 and got[0] == 1 and got[1] == 0

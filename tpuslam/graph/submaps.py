@@ -498,6 +498,47 @@ def optimize_anchor_graph(submaps, *, rounds: int = 3, iters: int = 15,
     return prob, gids, anchors
 
 
+def merge_duplicates(positions, weights=None, radius: float = 1.5):
+    """Union-find merge of near-coincident global landmarks.
+
+    Residual cross-submap duplicates arise when drift AT MATCH TIME
+    exceeded the gate but the post-BA positions coincide; one transitive
+    pass (i ~ nearest-other within `radius`) collapses them.  Keep
+    `radius` well under the landmark spacing.  Returns (merged (M', 2),
+    remap (M,) int64 old->new)."""
+    from tpuslam.native import SpatialIndex
+
+    pos = np.asarray(positions, np.float64).reshape(-1, 2)
+    M = len(pos)
+    if M == 0:
+        return pos, np.zeros(0, np.int64)
+    w = (np.asarray(weights, np.float64) if weights is not None
+         else np.ones(M))
+    idx = SpatialIndex(pos, cell_size=max(radius, 1.0))
+    nn = idx.match_excluding(pos, radius, np.arange(M))
+
+    parent = np.arange(M)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(M):
+        if nn[i] >= 0:
+            ri, rj = find(i), find(int(nn[i]))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roots = np.asarray([find(i) for i in range(M)])
+    uniq, remap = np.unique(roots, return_inverse=True)
+    merged = np.zeros((len(uniq), 2))
+    wsum = np.zeros(len(uniq))
+    np.add.at(merged, remap, pos * w[:, None])
+    np.add.at(wsum, remap, w)
+    return merged / wsum[:, None], remap.astype(np.int64)
+
+
 def assemble_global_map(submaps, anchors, gids, n_landmarks: int):
     """Merge the submap maps under the given anchor poses.
 

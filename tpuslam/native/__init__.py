@@ -51,6 +51,12 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.tpuslam_grid_match_excl.restype = None
+    lib.tpuslam_grid_match_excl.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.tpuslam_ba_factors.restype = ctypes.c_int64
     lib.tpuslam_ba_factors.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -133,6 +139,36 @@ class SpatialIndex:
         if len(self.points) == 0:
             return np.full(len(q), -1, dtype=np.int64)
         d2 = ((q[:, None, :] - self.points[None, :, :]) ** 2).sum(-1)
+        best = np.argmin(d2, axis=1)
+        hit = d2[np.arange(len(q)), best] < radius * radius
+        return np.where(hit, best, -1).astype(np.int64)
+
+    def match_excluding(self, queries, radius: float,
+                        exclude) -> np.ndarray:
+        """match() with one excluded index per query (exclude[i] skipped
+        for query i) — the self-match case when querying an index with
+        its own points (duplicate-merge pass)."""
+        q = np.ascontiguousarray(queries, dtype=np.float64).reshape(-1, 2)
+        ex = np.ascontiguousarray(exclude, dtype=np.int64).reshape(-1)
+        assert len(ex) == len(q)
+        if self._handle is not None:
+            out = np.empty(len(q), dtype=np.int64)
+            _LIB.tpuslam_grid_match_excl(
+                self._handle,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(q), float(radius),
+                ex.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return out
+        if len(self.points) == 0:
+            return np.full(len(q), -1, dtype=np.int64)
+        d2 = ((q[:, None, :] - self.points[None, :, :]) ** 2).sum(-1)
+        d2[np.arange(len(q)), np.clip(ex, 0, len(self.points) - 1)] = (
+            np.where(ex >= 0, np.inf,
+                     d2[np.arange(len(q)),
+                        np.clip(ex, 0, len(self.points) - 1)])
+        )
         best = np.argmin(d2, axis=1)
         hit = d2[np.arange(len(q)), best] < radius * radius
         return np.where(hit, best, -1).astype(np.int64)

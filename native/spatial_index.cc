@@ -223,6 +223,96 @@ void tpuslam_grid_match_excl(const void* handle, const double* qpts,
   }
 }
 
+// Translation-voting registration (landmark-cloud scan matching): for
+// each query point, every indexed point within `radius` casts a vote for
+// the offset (indexed - query) into a (2*radius/bin)^2 histogram; the
+// returned offset is the refined mean of votes near the peak.  Robust to
+// drift LARGER than the landmark spacing where nearest-neighbor matching
+// locks in wrong pairs (graph/submaps.py registration pass).  Returns
+// the peak vote count; writes the offset into out_dxy[2].
+int64_t tpuslam_grid_offset_vote(const void* handle, const double* qpts,
+                                 int64_t nq, double radius, double bin,
+                                 double* out_dxy) {
+  const auto* g = static_cast<const GridIndex*>(handle);
+  const double r2 = radius * radius;
+  const int nb = std::max(1, static_cast<int>(2.0 * radius / bin) + 1);
+  std::vector<int32_t> hist(static_cast<size_t>(nb) * nb, 0);
+  std::vector<double> dxs, dys;
+  dxs.reserve(256);
+  dys.reserve(256);
+
+  for (int64_t q = 0; q < nq; ++q) {
+    const double px = qpts[2 * q], py = qpts[2 * q + 1];
+    int cx0 = static_cast<int>((px - radius - g->xmin) * g->inv_cell);
+    int cx1 = static_cast<int>((px + radius - g->xmin) * g->inv_cell);
+    int cy0 = static_cast<int>((py - radius - g->ymin) * g->inv_cell);
+    int cy1 = static_cast<int>((py + radius - g->ymin) * g->inv_cell);
+    if (cx0 < 0) cx0 = 0;
+    if (cy0 < 0) cy0 = 0;
+    if (cx1 >= g->nx) cx1 = g->nx - 1;
+    if (cy1 >= g->ny) cy1 = g->ny - 1;
+    for (int cy = cy0; cy <= cy1; ++cy) {
+      for (int cx = cx0; cx <= cx1; ++cx) {
+        const int64_t cell = static_cast<int64_t>(cy) * g->nx + cx;
+        for (int64_t k = g->cell_start[cell]; k < g->cell_start[cell + 1];
+             ++k) {
+          const int64_t i = g->cell_items[k];
+          const double dx = g->pts[2 * i] - px;
+          const double dy = g->pts[2 * i + 1] - py;
+          if (dx * dx + dy * dy >= r2) continue;
+          int bx = static_cast<int>((dx + radius) / bin);
+          int by = static_cast<int>((dy + radius) / bin);
+          if (bx < 0) bx = 0;
+          if (by < 0) by = 0;
+          if (bx >= nb) bx = nb - 1;
+          if (by >= nb) by = nb - 1;
+          hist[static_cast<size_t>(by) * nb + bx]++;
+          dxs.push_back(dx);
+          dys.push_back(dy);
+        }
+      }
+    }
+  }
+
+  // Peak cell (3x3 smoothed to tolerate bin-edge splits).
+  int64_t best = -1;
+  int bbx = 0, bby = 0;
+  for (int by = 0; by < nb; ++by) {
+    for (int bx = 0; bx < nb; ++bx) {
+      int64_t s = 0;
+      for (int oy = -1; oy <= 1; ++oy) {
+        for (int ox = -1; ox <= 1; ++ox) {
+          const int x = bx + ox, y = by + oy;
+          if (x >= 0 && x < nb && y >= 0 && y < nb) {
+            s += hist[static_cast<size_t>(y) * nb + x];
+          }
+        }
+      }
+      if (s > best) {
+        best = s;
+        bbx = bx;
+        bby = by;
+      }
+    }
+  }
+  const double cx = (bbx + 0.5) * bin - radius;
+  const double cy = (bby + 0.5) * bin - radius;
+  // Refine: mean of votes within 1.5*bin of the peak center.
+  double sx = 0.0, sy = 0.0;
+  int64_t cnt = 0;
+  const double rr = 1.5 * bin;
+  for (size_t k = 0; k < dxs.size(); ++k) {
+    if (std::abs(dxs[k] - cx) <= rr && std::abs(dys[k] - cy) <= rr) {
+      sx += dxs[k];
+      sy += dys[k];
+      cnt++;
+    }
+  }
+  out_dxy[0] = cnt ? sx / cnt : 0.0;
+  out_dxy[1] = cnt ? sy / cnt : 0.0;
+  return cnt;
+}
+
 // Batch BA observation-factor generation: for K keyframe poses (x,y,phi
 // triples), emit (pose_idx, landmark_idx, range, bearing) per visible
 // pair, with optional Gaussian noise supplied by the caller as

@@ -114,6 +114,7 @@ def main():
     prob, gids, anchors = optimize_anchor_graph(
         run.submaps, rounds=3, iters=15, match_radius=radius,
         init_anchors=[sm.anchor0 for sm in run.submaps],
+        register_radius=15.0,
     )
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids,

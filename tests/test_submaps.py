@@ -133,9 +133,20 @@ def test_match_submap_landmarks_merges_revisits():
         rel_pose=np.zeros(3), rel_cov=0.01 * np.eye(3),
     )
     sms = [mk(a0, lms), mk(a1, lms + 0.05)]
-    gids, table = match_submap_landmarks(sms, [a0, a1], radius=1.0)
+    gids, table, _ = match_submap_landmarks(sms, [a0, a1], radius=1.0)
     assert len(table) == 3
     np.testing.assert_array_equal(gids[0], gids[1])
+
+    # Registration recovers a translation offset LARGER than the match
+    # radius (the drift > spacing case nearest-neighbor cannot close).
+    a1_drift = a1 + np.array([4.0, -3.0, 0.0])   # 5 m off, radius 1
+    gids2, table2, adj = match_submap_landmarks(
+        sms, [a0, a1_drift], radius=1.0, register_radius=10.0,
+        min_votes=2,
+    )
+    assert len(table2) == 3
+    np.testing.assert_array_equal(gids2[0], gids2[1])
+    np.testing.assert_allclose(adj[1][:2], a1[:2], atol=0.3)
 
 
 def test_native_match_parity():

@@ -57,6 +57,11 @@ def _load():
         ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.tpuslam_grid_offset_vote.restype = ctypes.c_int64
+    lib.tpuslam_grid_offset_vote.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
     lib.tpuslam_ba_factors.restype = ctypes.c_int64
     lib.tpuslam_ba_factors.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -172,6 +177,53 @@ class SpatialIndex:
         best = np.argmin(d2, axis=1)
         hit = d2[np.arange(len(q)), best] < radius * radius
         return np.where(hit, best, -1).astype(np.int64)
+
+    def offset_vote(self, queries, radius: float, bin_size: float = 1.0):
+        """Translation-voting registration: the dominant offset from the
+        query cloud to the indexed cloud among all pairs within `radius`
+        (mode of pairwise differences, refined to a mean near the peak).
+        Robust where nearest-neighbor matching fails (drift > point
+        spacing).  Returns ((dx, dy), peak_vote_count)."""
+        q = np.ascontiguousarray(queries, dtype=np.float64).reshape(-1, 2)
+        if self._handle is not None:
+            out = np.zeros(2, np.float64)
+            cnt = _LIB.tpuslam_grid_offset_vote(
+                self._handle,
+                q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(q), float(radius), float(bin_size),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            return (float(out[0]), float(out[1])), int(cnt)
+        # NumPy fallback — identical semantics.
+        if len(self.points) == 0 or len(q) == 0:
+            return (0.0, 0.0), 0
+        d = self.points[None, :, :] - q[:, None, :]      # (Q, N, 2)
+        ok = (d ** 2).sum(-1) < radius * radius
+        dd = d[ok]
+        if not len(dd):
+            return (0.0, 0.0), 0
+        nb = max(1, int(2 * radius / bin_size) + 1)
+        bx = np.clip(((dd[:, 0] + radius) / bin_size).astype(int), 0,
+                     nb - 1)
+        by = np.clip(((dd[:, 1] + radius) / bin_size).astype(int), 0,
+                     nb - 1)
+        hist = np.zeros((nb, nb), np.int64)
+        np.add.at(hist, (by, bx), 1)
+        # 3x3 smoothed argmax (same as the C++ path).
+        sm = np.zeros_like(hist)
+        for y in range(nb):
+            for x in range(nb):
+                sm[y, x] = hist[max(0, y - 1):y + 2,
+                                max(0, x - 1):x + 2].sum()
+        by0, bx0 = np.unravel_index(np.argmax(sm), sm.shape)
+        cx = (bx0 + 0.5) * bin_size - radius
+        cy = (by0 + 0.5) * bin_size - radius
+        near = (np.abs(dd[:, 0] - cx) <= 1.5 * bin_size) & (
+            np.abs(dd[:, 1] - cy) <= 1.5 * bin_size)
+        if not near.any():
+            return (0.0, 0.0), 0
+        return ((float(dd[near, 0].mean()), float(dd[near, 1].mean())),
+                int(near.sum()))
 
     def ba_factors(self, poses, sensor_range: float, noise=None,
                    sigma_r: float = 0.0, sigma_b: float = 0.0,

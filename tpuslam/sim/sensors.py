@@ -51,6 +51,7 @@ def get_observations(pose, landmarks, sensor_range, obs_noise, max_obs):
       (ground-truth landmark ids — returned like the reference's tags,
        sim/sim-utils.jl:71-74, and like them never used by association).
     """
+    n = landmarks.shape[0]
     dx = landmarks[:, 0] - pose[0]
     dy = landmarks[:, 1] - pose[1]
     vis = visible_mask(pose, landmarks, sensor_range)
@@ -59,12 +60,26 @@ def get_observations(pose, landmarks, sensor_range, obs_noise, max_obs):
     bearing = jnp.arctan2(dy, dx) - pose[2]  # unwrapped, as in the reference
     z_all = jnp.stack([d, bearing], axis=-1) + obs_noise
 
-    # Stable compaction: visible landmarks first, index order preserved.
-    order = jnp.argsort(jnp.logical_not(vis), stable=True)
-    idx = order[:max_obs]
-    z = z_all[idx]
-    z_mask = vis[idx]
-    return z, z_mask, idx.astype(jnp.int32)
+    # Stable compaction WITHOUT a sort: slot = rank among visible (cumsum
+    # preserves ascending index order), gathered by one-hot matmul.  An
+    # argsort over the full landmark array costs ~ms at 100k landmarks on
+    # TPU and dominated the whole epoch in the 20k-landmark scale run;
+    # this is a 3.8 MB one-hot stream instead.
+    slot = jnp.cumsum(vis) - 1
+    hit = vis & (slot < max_obs)
+    onehot = (slot[:, None] == jnp.arange(max_obs)[None, :]) & hit[:, None]
+    oh = onehot.astype(z_all.dtype)
+    z = oh.T @ z_all                                     # (max_obs, 2)
+    n_vis = jnp.sum(vis)
+    z_mask = jnp.arange(max_obs) < n_vis
+    # Padding rows get a harmless finite observation (range 1, bearing 0):
+    # downstream Jacobians divide by range, and poisoning masked slots
+    # with 0 would breed inf*0 NaNs.
+    z = jnp.where(z_mask[:, None], z,
+                  jnp.asarray([1.0, 0.0], z_all.dtype))
+    idx = jnp.sum(onehot * jnp.arange(n, dtype=jnp.int32)[:, None],
+                  axis=0, dtype=jnp.int32)
+    return z, z_mask, idx
 
 
 def add_control_noise(target_speed, target_gamma, ctrl_noise):

@@ -358,19 +358,22 @@ def match_submap_landmarks(submaps, anchors, radius: float,
                 )
                 if votes >= min_votes and (dx * dx + dy * dy) > 0.25:
                     # Accept the voted shift ONLY if it increases the
-                    # inlier match count decisively (RANSAC-style score):
-                    # vote noise in dense fields otherwise injects wrong
-                    # offsets exactly when drift is small and plain
-                    # matching was already fine.
+                    # inlier count decisively (RANSAC-style score) at a
+                    # TIGHT gate: at the normal gate a random shift in a
+                    # dense field still matches ~half the points (gate ~
+                    # 0.4x spacing), so discrimination needs a gate well
+                    # under the spacing; the vote-refined offset is good
+                    # to ~0.5 m when real.
                     d = np.asarray([dx, dy])
-                    idx_s = idx_obj.match(g + d, radius)
-                    h0 = int((idx >= 0).sum())
+                    sg = min(radius, 1.0)
+                    h0 = int((idx_obj.match(g, sg) >= 0).sum())
+                    hs = int((idx_obj.match(g + d, sg) >= 0).sum())
                     gain = min(8, max(2, len(g) // 4))
-                    if int((idx_s >= 0).sum()) > max(1.2 * h0, h0 + gain):
+                    if hs > max(1.5 * h0, h0 + gain):
                         g = g + d
                         a[:2] += d
                         shift += d
-                        idx = idx_s
+                        idx = idx_obj.match(g, radius)
         else:
             idx = np.full(len(g), -1, dtype=np.int64)
         ids = np.empty(len(g), np.int64)

@@ -1,152 +1,104 @@
 #!/usr/bin/env python
-"""rank_k kernel tuning on the real chip: block-size sweep x panel-concat
-variant, HIGH precision, dim 8195/16387 (the sizes where Pallas is the
-dispatched winner).  Measures marginal ms and GB/s vs the 2-pass minimum
-traffic; prints one JSON line per point."""
+"""rank_k kernel tuning on the real chip (PERF.md "remaining headroom").
+
+Sweeps the VMEM tile shape (square + rectangular) of
+`rank_k_update_rect` and a pre-split-panel variant at the dims where the
+Pallas kernel is the dispatched winner (8195/16387 = cap 4096/8192).
+
+Methodology — identical to scripts/roofline_tpu.py (the numbers PERF.md
+trusts): each sample is the MARGINAL time per kernel application between
+an n1- and an n2-iteration on-device `lax.fori_loop` chain (traced trip
+count, one executable; data dependence serializes iterations), min-of-3,
+fresh seed per call.  A Python-loop chain is NOT usable here: its
+(n2-n1) * ~1.7 ms window is inside the tunnel's 30-90 ms dispatch-
+overhead variance and produced >HBM-peak "measurements".
+
+Usage: python scripts/rank_k_tune_tpu.py [--dims 8195,16387]
+"""
 
 from __future__ import annotations
 
+import argparse
 import functools
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+HBM_GBPS = 819.0
 
 
-def make_concat_kernel(dim, block, presplit):
-    """Variant kernel: out = P + A_i^T B_j with pre-concatenated panels.
-    presplit: hi/lo bf16 panels are built OUTSIDE (once), the kernel does
-    3 bf16 dots — no per-tile splitting."""
-    if presplit:
-        def kern(p_ref, ah_ref, al_ref, bh_ref, bl_ref, out_ref):
-            d = functools.partial(
-                jax.lax.dot_general,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = (d(ah_ref[:], bh_ref[:]) + d(al_ref[:], bh_ref[:])
-                   + d(ah_ref[:], bl_ref[:]))
-            out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
-                out_ref.dtype)
-        return kern
+def marginal_s(run, n1=4, n2=40):
+    float(run(n1, 1000.0))
+    float(run(n2, 1001.0))
 
-    def kern(p_ref, a_ref, b_ref, out_ref):
-        from tpuslam.kernels.mm import dot_general_3pass
+    def best(n, s0):
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(run(n, s0 + i))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-        acc = dot_general_3pass(a_ref[:], b_ref[:],
-                                (((0,), (0,)), ((), ())))
-        out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
-            out_ref.dtype)
-    return kern
-
-
-def concat_rank_k(P, A, B, *, block, presplit):
-    R, C = P.shape
-    k = A.shape[0]
-    nbr, nbc = pl.cdiv(R, block), pl.cdiv(C, block)
-    pspec = pl.BlockSpec((block, block), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((k, block), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((k, block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
-    if presplit:
-        ah = A.astype(jnp.bfloat16)
-        al = (A - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = B.astype(jnp.bfloat16)
-        bl = (B - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        return pl.pallas_call(
-            make_concat_kernel(max(R, C), block, True),
-            out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
-            grid_spec=pl.GridSpec(
-                grid=(nbr, nbc),
-                in_specs=[pspec, aspec, bspec, aspec, bspec][:1]
-                + [aspec, aspec, bspec, bspec],
-                out_specs=pspec,
-            ),
-            input_output_aliases={0: 0},
-        )(P, ah, al, bh, bl)
-    return pl.pallas_call(
-        make_concat_kernel(max(R, C), block, False),
-        out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
-        grid_spec=pl.GridSpec(
-            grid=(nbr, nbc), in_specs=[pspec, aspec, bspec],
-            out_specs=pspec,
-        ),
-        input_output_aliases={0: 0},
-    )(P, A, B)
+    return (best(n2, 1.0) - best(n1, 100.0)) / (n2 - n1)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", default="8195,16387")
+    ap.add_argument("--m2", type=int, default=64)
+    args = ap.parse_args()
     os.environ.setdefault("TPUSLAM_BIG_MATMUL_PRECISION", "high")
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     from tpuslam.kernels.sym_rank_k import rank_k_update_rect
-    from tpuslam.utils.profiling import marginal_ms
 
     dev = jax.devices()[0]
-    print(json.dumps({"stage": "env", "kind": dev.device_kind}), flush=True)
-    rng = np.random.default_rng(0)
-    for dim in (8195, 16387):
-        m2 = 96
-        k = 2 * m2  # current kernel's two (k=136ish) dots ~ one 2k dot
-        P0 = jnp.asarray(rng.standard_normal((dim, dim)), jnp.float32)
-        Xr = jnp.asarray(rng.standard_normal((k // 2, dim)), jnp.float32)
-        Yr = jnp.asarray(rng.standard_normal((k // 2, dim)), jnp.float32)
-        A = jnp.concatenate([Xr, Yr], 0)
-        B = jnp.concatenate([Yr, Xr], 0)
-        bytes2 = 2 * dim * dim * 4
+    print(json.dumps({"stage": "env", "kind": dev.device_kind,
+                      "mode": os.environ["TPUSLAM_BIG_MATMUL_PRECISION"]}),
+          flush=True)
 
-        def run_current(n, seed, block):
-            P = P0 * (1.0 + seed * 1e-6)
-            for _ in range(n):
-                P = rank_k_update_rect(P, Xr, Yr, Xr, Yr, block=block)
-            jax.block_until_ready(P)
-            np.asarray(P[0, 0])
+    k = 2 * args.m2 + 8
 
-        def run_concat(n, seed, block, presplit):
-            P = P0 * (1.0 + seed * 1e-6)
-            for _ in range(n):
-                P = concat_rank_k(P, A, B, block=block, presplit=presplit)
-            jax.block_until_ready(P)
-            np.asarray(P[0, 0])
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def loop_rect(P, X, Y, seed, block, n):
+        X = X + seed * 1e-30
 
-        for block in (512, 1024, 2048):
+        def body(_, p):
+            return rank_k_update_rect(p, X, Y, X, Y, block=block)
+
+        return jnp.sum(lax.fori_loop(0, n, body, P)[0])
+
+    for dim in [int(d) for d in args.dims.split(",")]:
+        key = jax.random.key(dim)
+        k1, k3 = jax.random.split(key)
+        A = jax.random.normal(k1, (dim, dim), jnp.float32) * 0.01
+        P = (A @ A.T + jnp.eye(dim)) * 1e-3
+        del A
+        X = jax.random.normal(k3, (k, dim), jnp.float32) * 1e-3
+        Y = X * 1e-12  # keeps the P chain numerically stationary
+        by = 8.0 * dim * dim + 16.0 * dim * k
+
+        for block in (512, (512, 1024), (256, 1024), (256, 2048),
+                      (128, 2048), (512, 2048), (1024, 1024)):
             try:
-                ms = marginal_ms(
-                    functools.partial(run_current, block=block), 2, 6) / 4
+                t = marginal_s(
+                    lambda n, s, _b=block: loop_rect(P, X, Y, s, _b, n))
                 print(json.dumps({
-                    "variant": "current", "dim": dim, "block": block,
-                    "ms": round(ms, 3),
-                    "gbps": round(bytes2 / ms / 1e6, 0),
+                    "variant": "rect", "dim": dim, "block": block,
+                    "ms": round(t * 1e3, 3),
+                    "gbps": round(by / t / 1e9, 0),
+                    "pct_hbm": round(100 * by / (HBM_GBPS * 1e9) / t, 1),
                 }), flush=True)
-            except Exception as e:
-                print(json.dumps({"variant": "current", "dim": dim,
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"variant": "rect", "dim": dim,
                                   "block": block,
-                                  "error": str(e)[:120]}), flush=True)
-            for presplit in (False, True):
-                try:
-                    ms = marginal_ms(
-                        functools.partial(run_concat, block=block,
-                                          presplit=presplit), 2, 6) / 4
-                    print(json.dumps({
-                        "variant": ("concat-presplit" if presplit
-                                    else "concat"),
-                        "dim": dim, "block": block, "ms": round(ms, 3),
-                        "gbps": round(bytes2 / ms / 1e6, 0),
-                    }), flush=True)
-                except Exception as e:
-                    print(json.dumps({
-                        "variant": ("concat-presplit" if presplit
-                                    else "concat"), "dim": dim,
-                        "block": block, "error": str(e)[:120]}),
-                        flush=True)
+                                  "error": str(e)[:140]}), flush=True)
 
 
 if __name__ == "__main__":

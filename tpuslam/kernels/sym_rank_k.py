@@ -62,7 +62,7 @@ def _pad_panels(X, Y):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
+def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block=512,
                        interpret: bool = False):
     """Rectangular form:  P + Xr^T Yc + Yr^T Xc  in one pass over P.
 
@@ -70,29 +70,35 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block: int = 512,
     column-side panels.  This is the per-shard op of the distributed
     engine: each shard updates its row block of the landmark covariance
     with its panel row-slices against the full column panels.
+
+    `block` is the VMEM tile shape: an int (square tile) or a
+    (block_rows, block_cols) pair — rectangular tiles trade sublane depth
+    for lane width (wider tiles amortize the per-tile column-panel reload
+    over more P bytes; see scripts/rank_k_tune_tpu.py measurements).
     """
     R, C = P.shape
     Xr, Yr = _pad_panels(Xr, Yr)
     Xc, Yc = _pad_panels(Xc, Yc)
     k = Xr.shape[0]
-    nbr = pl.cdiv(R, block)
-    nbc = pl.cdiv(C, block)
+    br, bc = (block, block) if isinstance(block, int) else block
+    nbr = pl.cdiv(R, br)
+    nbc = pl.cdiv(C, bc)
 
     grid_spec = pl.GridSpec(
         grid=(nbr, nbc),
         in_specs=[
-            pl.BlockSpec((block, block), lambda i, j: (i, j),
+            pl.BlockSpec((br, bc), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block), lambda i, j: (0, i),
+            pl.BlockSpec((k, br), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),      # Xr tile (rows)
-            pl.BlockSpec((k, block), lambda i, j: (0, j),
+            pl.BlockSpec((k, bc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),      # Yc tile (cols)
-            pl.BlockSpec((k, block), lambda i, j: (0, i),
+            pl.BlockSpec((k, br), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),      # Yr tile (rows)
-            pl.BlockSpec((k, block), lambda i, j: (0, j),
+            pl.BlockSpec((k, bc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),      # Xc tile (cols)
         ],
-        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((br, bc), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(

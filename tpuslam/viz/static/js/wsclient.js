@@ -6,6 +6,7 @@
   'use strict';
 
   var W = 600, H = 600, EXTENT = 100;  // scene is 100x100 m
+  var SENSOR_RANGE = 30;               // m (ref ekfslam-sim.jl:33)
   var svg = document.querySelector('svg.scene');
   var status = document.getElementById('status');
   var NS = 'http://www.w3.org/2000/svg';
@@ -101,6 +102,19 @@
       // Vehicle triangle oriented by heading.
       el('polygon', {
         points: '6,0 -4,3 -4,-3', 'class': 'vehicle',
+        transform: 'translate(' + sx(d.cx) + ',' + sy(d.cy) + ') ' +
+                   'rotate(' + (-d.vehicle_phi * 180 / Math.PI) + ')'
+      }, gVehicle);
+      // Lidar sweep sector: the sensor's forward half-plane out to range
+      // (annular half-disc, like the reference client's d3 arc with
+      // innerRadius 20 px / outerRadius = scaled sensor range, ref
+      // wsclient.js:156-185).  At heading 0 the sector covers +x; the
+      // rotate(-phi) maps it to the vehicle's front half-plane.
+      var R = sx(SENSOR_RANGE), r = 20;
+      el('path', {
+        d: 'M 0,' + (-R) + ' A ' + R + ',' + R + ' 0 0 1 0,' + R +
+           ' L 0,' + r + ' A ' + r + ',' + r + ' 0 0 0 0,' + (-r) + ' Z',
+        'class': 'lidar-sweep',
         transform: 'translate(' + sx(d.cx) + ',' + sy(d.cy) + ') ' +
                    'rotate(' + (-d.vehicle_phi * 180 / Math.PI) + ')'
       }, gVehicle);

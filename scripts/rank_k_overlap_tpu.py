@@ -54,33 +54,61 @@ def build(variant, dim, k, block=512):
     from tpuslam.kernels.mm import dot_general_3pass
 
     dims = (((0,), (0,)), ((), ()))
+    catpanel = variant.startswith("cat")
 
-    def kern(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
-        if variant == "default":
-            d = functools.partial(lax.dot_general, dimension_numbers=dims,
-                                  preferred_element_type=jnp.float32)
-            acc = d(xi_ref[:], yj_ref[:]) + d(yi_ref[:], xj_ref[:])
-        else:
-            acc = (dot_general_3pass(xi_ref[:], yj_ref[:], dims)
-                   + dot_general_3pass(yi_ref[:], xj_ref[:], dims))
-        out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
-            out_ref.dtype)
+    if catpanel:
+        # One deep dot per pass: acc = [Xi;Yi]^T [Yj;Xj], contraction
+        # depth 2k — the concatenation happens OUTSIDE, so the kernel has
+        # 2 panel refs instead of 4 and one MXU op per pass.
+        def kern(p_ref, a_ref, b_ref, out_ref):
+            acc = dot_general_3pass(a_ref[:], b_ref[:], dims)
+            out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
+                out_ref.dtype)
+    else:
+        def kern(p_ref, xi_ref, yj_ref, yi_ref, xj_ref, out_ref):
+            if variant == "default":
+                d = functools.partial(lax.dot_general,
+                                      dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+                acc = d(xi_ref[:], yj_ref[:]) + d(yi_ref[:], xj_ref[:])
+            else:
+                acc = (dot_general_3pass(xi_ref[:], yj_ref[:], dims)
+                       + dot_general_3pass(yi_ref[:], xj_ref[:], dims))
+            out_ref[:] = (p_ref[:].astype(jnp.float32) + acc).astype(
+                out_ref.dtype)
 
     nb = pl.cdiv(dim, block)
     pspec = pl.BlockSpec((block, block), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    rspec = pl.BlockSpec((k, block), lambda i, j: (0, i),
+    kk = 2 * k if catpanel else k
+    rspec = pl.BlockSpec((kk, block), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((k, block), lambda i, j: (0, j),
+    cspec = pl.BlockSpec((kk, block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM)
     kwargs = {}
     if variant != "noalias":
         kwargs["input_output_aliases"] = {0: 0}
-    if variant == "parallel":
-        kwargs["compiler_params"] = pltpu.TPUCompilerParams(
+    if "parallel" in variant:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"))
+    if variant == "vmem64":
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
 
     def call(P, X, Y):
+        if catpanel:
+            A = jnp.concatenate([X, Y], 0)
+            B = jnp.concatenate([Y, X], 0)
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
+                grid_spec=pl.GridSpec(
+                    grid=(nb, nb),
+                    in_specs=[pspec, rspec, cspec],
+                    out_specs=pspec,
+                ),
+                **kwargs,
+            )(P, A, B)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct(P.shape, P.dtype),
@@ -122,7 +150,8 @@ def main():
     Y = X * 1e-12
     by = 8.0 * dim * dim + 16.0 * dim * k
 
-    for variant in ("high", "default", "noalias", "parallel"):
+    variants = sys.argv[1:] or ["parallel", "cat", "cat_parallel", "vmem64"]
+    for variant in variants:
         try:
             loop = build(variant, dim, k)
             t = marginal_s(lambda n, s, _l=loop: _l(P, X, Y, s, n))

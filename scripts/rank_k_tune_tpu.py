@@ -84,8 +84,11 @@ def main():
         Y = X * 1e-12  # keeps the P chain numerically stationary
         by = 8.0 * dim * dim + 16.0 * dim * k
 
-        for block in (512, (512, 1024), (256, 1024), (256, 2048),
-                      (128, 2048), (512, 2048), (1024, 1024)):
+        # Taller tiles cut the per-tile column-panel reload traffic
+        # (ratio K/(2*br) of the P bytes): with the cat-panel kernel the
+        # reload is the remaining gap to the 2-pass roofline.
+        for block in (512, (768, 512), (1024, 512), (1024, 256),
+                      (512, 1024)):
             try:
                 t = marginal_s(
                     lambda n, s, _b=block: loop_rect(P, X, Y, s, _b, n))

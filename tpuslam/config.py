@@ -93,6 +93,10 @@ class SimConfig:
     capacity: int = 64       # max landmarks in the map
     max_obs: int = 48        # max simultaneous observations per update
     max_steps: int = 10000   # track-history capacity (ekfslam-sim.jl:24-25)
+    # XLA unroll factor for the per-epoch control-tick scan.  Semantics
+    # are identical at any value (lax.scan unroll); >1 lets XLA fuse the
+    # tiny per-tick kernels across ticks.
+    tick_unroll: int = 1
 
     @property
     def state_dim(self) -> int:

@@ -173,7 +173,7 @@ def epoch(cfg: SimConfig, waypoints, landmarks, st: SimState, noises):
 
     acc0 = predict_accumulator_init(st.ekf.x[:3])
     (veh, (pose_pred, Gt, Qacc)), recs = lax.scan(
-        tick, (st.vehicle, acc0), ctrl_noise
+        tick, (st.vehicle, acc0), ctrl_noise, unroll=cfg.tick_unroll
     )
     # Activity at the START of the final tick gates the measurement step
     # (the reference's while-loop would have exited otherwise).

@@ -96,3 +96,29 @@ def test_f32_run_stays_consistent(course):
     P = np.asarray(st.ekf.P)[:dim, :dim]
     np.testing.assert_allclose(P, P.T, atol=1e-5)
     assert np.linalg.eigvalsh(P).min() > -1e-4
+
+
+def test_tick_unroll_equivalent(course):
+    """tick_unroll only changes XLA fusion, not semantics: an unrolled run
+    matches the default within compiler-reassociation rounding (identical
+    association decisions, rounding-level state difference)."""
+    import dataclasses
+
+    cfg, waypoints, landmarks, noises = course
+    st0 = init_sim_state(cfg, waypoints, dtype=jnp.float64)
+    args = (
+        jnp.asarray(waypoints, jnp.float64),
+        jnp.asarray(landmarks, jnp.float64),
+        st0,
+        tuple(jnp.asarray(n, jnp.float64) for n in noises),
+    )
+    st1, _ = run_epochs(cfg, *args)
+    cfg9 = dataclasses.replace(cfg, tick_unroll=cfg.substeps_per_obs)
+    st9, _ = run_epochs(cfg9, *args)
+    assert int(st1.ekf.n) == int(st9.ekf.n)
+    np.testing.assert_allclose(
+        np.asarray(st1.ekf.x), np.asarray(st9.ekf.x), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.ekf.P), np.asarray(st9.ekf.P), atol=1e-9
+    )

@@ -86,7 +86,7 @@ def main():
         capn = state.features.shape[0]
         dep = 1e-9 * jnp.sum(Gt)
         return (jnp.eye(3, dtype=state.x.dtype) + dep,
-                jnp.zeros((3, 2 * capn), state.x.dtype),
+                jnp.zeros((capn, 3, 2), state.x.dtype),
                 jnp.tile(jnp.eye(2, dtype=state.x.dtype)[None], (capn, 1, 1)))
 
     def fake_get_observations(pose, landmarks, sensor_range, obs_noise,
@@ -115,6 +115,10 @@ def main():
     import dataclasses as _dc
 
     cfg_of = {"unroll9": _dc.replace(cfg, tick_unroll=cfg.substeps_per_obs)}
+
+    want = sys.argv[1:]  # optional subset of variant names
+    if want:
+        variants = {k: v for k, v in variants.items() if k in want}
 
     for vi, (name, patches) in enumerate(variants.items()):
         cfg_v = cfg_of.get(name, cfg)

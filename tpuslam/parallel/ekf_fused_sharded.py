@@ -338,9 +338,13 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
         L = jnp.where(any_ok, L, jnp.eye(m2, dtype=dtype))
         actf = actf * any_ok.astype(dtype)
 
-    W1_p = solve_triangular(L, PHt_p.T, lower=True).T * actf
-    W1_m_local = solve_triangular(L, PHt_m.T, lower=True).T * actf
-    u = solve_triangular(L, v.reshape(m2), lower=True) * actf
+    # Small explicit triangular inverse, applied by matmul (ref ekf.jl:70-71
+    # formulation; same rationale as filters/ekf_fused.py — a dim-sized
+    # triangular-solve RHS serializes on TPU, the matmul rides the MXU).
+    Linv = solve_triangular(L, jnp.eye(m2, dtype=dtype), lower=True)
+    W1_p = jnp.matmul(PHt_p, Linv.T, precision=_HI) * actf
+    W1_m_local = jnp.matmul(PHt_m, Linv.T, precision=_HI) * actf
+    u = jnp.matmul(Linv, v.reshape(m2), precision=_HI) * actf
 
     if st.Pmm.dtype != dtype:
         # Self-healing guard: a poisoned Pmm entry (fp16 overflow -> inf,

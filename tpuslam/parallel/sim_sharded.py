@@ -177,7 +177,7 @@ def epoch_shard(cfg: SimConfig, waypoints, landmarks, st, noises,
 
     acc0 = predict_accumulator_init(st.ekf.pose)
     (veh, (pose_pred, Gt, Qacc)), recs = lax.scan(
-        tick, (st.vehicle, acc0), ctrl_noise
+        tick, (st.vehicle, acc0), ctrl_noise, unroll=cfg.tick_unroll
     )
     tick9_active = recs.active[-1]
 

@@ -352,4 +352,28 @@ int64_t tpuslam_ba_factors(const void* handle, const double* poses,
   return f;
 }
 
+// Union-find over a sparse nearest-neighbor edge list: nn[i] >= 0 links
+// node i with node nn[i] (the duplicate-merge graph from
+// graph/submaps.py:merge_duplicates).  Writes each node's root into
+// out_roots, with the smallest member index as the canonical root —
+// matching the NumPy fallback's min-root convention exactly.
+void tpuslam_union_find(const int64_t* nn, int64_t n, int64_t* out_roots) {
+  std::vector<int64_t> parent(n);
+  for (int64_t i = 0; i < n; ++i) parent[i] = i;
+  auto find = [&](int64_t i) {
+    while (parent[i] != i) {
+      parent[i] = parent[parent[i]];
+      i = parent[i];
+    }
+    return i;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    if (nn[i] >= 0 && nn[i] < n) {
+      int64_t ri = find(i), rj = find(nn[i]);
+      if (ri != rj) parent[std::max(ri, rj)] = std::min(ri, rj);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out_roots[i] = find(i);
+}
+
 }  // extern "C"

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Stand-in ablation of the closed-loop epoch at cap 1024 (headline config).
+"""Stand-in ablation of the closed-loop epoch (default cap 1024; pass
+`cap=4096` etc. for the big-cap attribution — VERDICT r2 weak #2).
 
 At cap 1024 the covariance passes account for only ~60 us of the measured
 ~450 us epoch — this attributes the rest.  Methodology per PERF.md
@@ -45,14 +46,31 @@ def main():
     from tpuslam.sim.scene import make_grid_course, make_landmarks
     from tpuslam.sim.simulator import init_sim_state
 
-    scene = SceneConfig(xmin=0.0, xmax=300.0, ymin=0.0, ymax=300.0,
-                        n_landmarks=1000, legacy_integer_landmarks=False)
-    cfg = SimConfig(scene=scene, capacity=1024, max_obs=48)
-    wp = jnp.asarray(make_grid_course(300.0, n_per_side=6, inset=0.1),
-                     jnp.float32)
+    cap = 1024
+    want = []
+    for tok in sys.argv[1:]:
+        if tok.startswith("cap="):
+            cap = int(tok[4:])
+        else:
+            want.append(tok)
+
+    if cap == 1024:
+        # Historical cap-1024 config (keeps continuity with the r2 rows).
+        extent, n_lm, max_obs, n_side, inset = 300.0, 1000, 48, 6, 0.1
+    else:
+        # Match bench.harness.landmark_sweep exactly — the config whose
+        # measured ms/epoch (PERF "Closed-loop throughput") this ablation
+        # attributes.
+        extent = max(200.0, 0.4 * cap)
+        n_lm, max_obs, n_side, inset = cap, 32, 5, 0.05
+    scene = SceneConfig(xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
+                        n_landmarks=n_lm, legacy_integer_landmarks=False)
+    cfg = SimConfig(scene=scene, capacity=cap, max_obs=max_obs)
+    wp = jnp.asarray(make_grid_course(extent, n_per_side=n_side,
+                                      inset=inset), jnp.float32)
     lm = jnp.asarray(make_landmarks(scene, seed=4), jnp.float32)
     st0 = init_sim_state(cfg, wp, dtype=jnp.float32)
-    print(json.dumps({"stage": "env",
+    print(json.dumps({"stage": "env", "capacity": cap,
                       "kind": jax.devices()[0].device_kind}), flush=True)
 
     orig = dict(
@@ -116,8 +134,11 @@ def main():
 
     cfg_of = {"unroll9": _dc.replace(cfg, tick_unroll=cfg.substeps_per_obs)}
 
-    want = sys.argv[1:]  # optional subset of variant names
-    if want:
+    if want:  # optional subset of variant names
+        unknown = [w for w in want if w not in variants]
+        if unknown:
+            sys.exit(f"unknown variant(s) {unknown}; "
+                     f"valid: {sorted(variants)} (plus cap=<int>)")
         variants = {k: v for k, v in variants.items() if k in want}
 
     for vi, (name, patches) in enumerate(variants.items()):

@@ -83,3 +83,25 @@ def test_scales_to_large_maps():
     dt = time.time() - t0
     # 100 queries over 200k points; grid makes this trivially fast.
     assert dt < 1.0
+
+
+def test_union_find_matches_fallback():
+    # C++ union-find == pure-Python fallback (min-root canonical), used by
+    # graph/submaps.py:merge_duplicates on the way to 1M-landmark maps.
+    import tpuslam.native as N
+    from tpuslam.native import union_find_roots
+
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        M = int(rng.integers(1, 400))
+        nn = rng.integers(-1, M, size=M)
+        got = union_find_roots(nn)
+        lib, N._LIB = N._LIB, None
+        try:
+            want = union_find_roots(nn)
+        finally:
+            N._LIB = lib
+        np.testing.assert_array_equal(got, want)
+        # Roots are canonical (a root's root is itself) and minimal.
+        np.testing.assert_array_equal(got[got], got)
+        assert (got <= np.arange(M)).all()

@@ -235,3 +235,31 @@ def test_merge_duplicates_and_match_excluding():
     want = fb.match_excluding(pts, 1.0, np.arange(len(pts)))
     np.testing.assert_array_equal(got, want)
     assert got[2] == -1 and got[0] == 1 and got[1] == 0
+
+
+def test_online_ba_gate_rejects_poisoned_correction():
+    """A GN round poisoned by wrong matches (non-finite or a jump far
+    beyond registration + drift bounds) must not move the anchor chain —
+    the guard for the 71 m-ATE open-loop failure mode (VERDICT r2 #8)."""
+    cfg = course1_config(capacity=64)
+    slam = SubmapSLAM(cfg, match_radius=3.0, register_radius=15.0)
+    anchor = np.array([10.0, 5.0, 0.3])
+
+    # Legitimate: within drift-since-last-closure (~match_radius).
+    assert slam.accept_correction(anchor + np.array([2.0, -1.0, 0.01]),
+                                  anchor)
+    # Legitimate: a registration-scale shift (<= register_radius).
+    assert slam.accept_correction(anchor + np.array([14.0, 0.0, 0.0]),
+                                  anchor)
+    # Poisoned: NaN / inf from a GN blow-up.
+    assert not slam.accept_correction(anchor * np.nan, anchor)
+    # Poisoned: a jump past register_radius + 4 * match_radius (27 m) —
+    # the old 20x-match_radius gate (60 m) ACCEPTED this.
+    assert not slam.accept_correction(anchor + np.array([40.0, 0.0, 0.0]),
+                                      anchor)
+    # No registration configured: gate is pure drift-scale.
+    slam2 = SubmapSLAM(cfg, match_radius=3.0, register_radius=None)
+    assert not slam2.accept_correction(anchor + np.array([14.0, 0.0, 0.0]),
+                                       anchor)
+    assert slam2.accept_correction(anchor + np.array([5.0, 0.0, 0.0]),
+                                   anchor)

@@ -240,13 +240,7 @@ class SubmapSLAM:
                         register_radius=self.register_radius,
                     )
                     cand = se2_compose(opt[-1], submaps[-1].rel_pose)
-                    # Sanity gate: an online GN round destabilized by
-                    # wrong matches (dense fields, gate ~ landmark
-                    # spacing) must not poison the chain — accept the
-                    # correction only if finite and modest.
-                    if (np.isfinite(cand).all()
-                            and np.linalg.norm(cand[:2] - anchor[:2])
-                            < 20.0 * self.match_radius):
+                    if self.accept_correction(cand, anchor):
                         anchor = cand
                 anchors.append(anchor.copy())
 
@@ -260,6 +254,26 @@ class SubmapSLAM:
             active=np.concatenate(act_g),
             anchors=np.asarray(anchors),
         )
+
+    def accept_correction(self, cand, anchor) -> bool:
+        """Sanity gate on one online-BA anchor correction.
+
+        An online GN round destabilized by wrong matches (dense fields,
+        gate ~ landmark spacing) must not poison the chain.  A legitimate
+        correction is bounded by physics: with BA running every closure,
+        NN matching only works at all if drift since the last correction
+        stays within `match_radius` (measured 1-3 m between closures on
+        the 20k-landmark course), and translation-voting registration can
+        legitimately recover shifts up to `register_radius` on top.
+        Anything beyond register_radius + a few match gates can only be a
+        poisoned solve — reject it and keep the dead-reckoned chain (the
+        next closure gets another chance with fresh matches).  The old
+        20x match_radius gate (60 m at defaults) admitted corrections the
+        size of the 71 m ATE failure it was meant to stop."""
+        if not np.isfinite(cand).all():
+            return False
+        gate = (self.register_radius or 0.0) + 4.0 * self.match_radius
+        return bool(np.linalg.norm(cand[:2] - anchor[:2]) < gate)
 
     def _close(self, st, anchor, submaps, dtype):
         """Freeze the active local map; restart the filter at the new
@@ -340,7 +354,6 @@ def match_submap_landmarks(submaps, anchors, radius: float,
     """
     from tpuslam.native import SpatialIndex
 
-    table: list[np.ndarray] = []
     table_arr = np.zeros((0, 2))
     gids = []
     anchors_adj = []
@@ -376,16 +389,15 @@ def match_submap_landmarks(submaps, anchors, radius: float,
                         idx = idx_obj.match(g, radius)
         else:
             idx = np.full(len(g), -1, dtype=np.int64)
-        ids = np.empty(len(g), np.int64)
-        for j in range(len(g)):
-            if idx[j] >= 0:
-                ids[j] = idx[j]
-            else:
-                ids[j] = len(table)
-                table.append(g[j])
+        # Unmatched landmarks get fresh sequential ids in scan order
+        # (vectorized; identical assignment to the per-landmark loop it
+        # replaces, which was the host-side wall at >=100k landmarks).
+        new = idx < 0
+        ids = idx.copy()
+        ids[new] = len(table_arr) + np.arange(int(new.sum()))
         gids.append(ids)
         anchors_adj.append(a)
-        table_arr = np.asarray(table).reshape(-1, 2)
+        table_arr = np.concatenate([table_arr, g[new]], axis=0)
     return gids, table_arr, np.asarray(anchors_adj).reshape(-1, 3)
 
 
@@ -558,7 +570,7 @@ def merge_duplicates(positions, weights=None, radius: float = 1.5):
     pass (i ~ nearest-other within `radius`) collapses them.  Keep
     `radius` well under the landmark spacing.  Returns (merged (M', 2),
     remap (M,) int64 old->new)."""
-    from tpuslam.native import SpatialIndex
+    from tpuslam.native import SpatialIndex, union_find_roots
 
     pos = np.asarray(positions, np.float64).reshape(-1, 2)
     M = len(pos)
@@ -568,21 +580,7 @@ def merge_duplicates(positions, weights=None, radius: float = 1.5):
          else np.ones(M))
     idx = SpatialIndex(pos, cell_size=max(radius, 1.0))
     nn = idx.match_excluding(pos, radius, np.arange(M))
-
-    parent = np.arange(M)
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    for i in range(M):
-        if nn[i] >= 0:
-            ri, rj = find(i), find(int(nn[i]))
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
-    roots = np.asarray([find(i) for i in range(M)])
+    roots = union_find_roots(nn)
     uniq, remap = np.unique(roots, return_inverse=True)
     merged = np.zeros((len(uniq), 2))
     wsum = np.zeros(len(uniq))

@@ -24,7 +24,10 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libtpuslam_native.so")
 
 
 def _load():
-    if not os.path.exists(_SO_PATH):
+    src = os.path.join(_NATIVE_DIR, "spatial_index.cc")
+    stale = (os.path.exists(_SO_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if not os.path.exists(_SO_PATH) or stale:
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True,
@@ -62,6 +65,11 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.tpuslam_union_find.restype = None
+    lib.tpuslam_union_find.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.tpuslam_ba_factors.restype = ctypes.c_int64
     lib.tpuslam_ba_factors.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -78,6 +86,39 @@ _LIB = _load()
 
 def native_available() -> bool:
     return _LIB is not None
+
+
+def union_find_roots(nn) -> np.ndarray:
+    """Root per node of the union-find over edges (i, nn[i]) for nn[i]>=0,
+    smallest member index canonical.  C++ when available; pure-Python
+    fallback with identical semantics (asserted in tests/test_native.py).
+    Used by graph/submaps.py:merge_duplicates — the per-node Python loop
+    was the host-side wall on the road to 1M-landmark global maps."""
+    nn = np.ascontiguousarray(nn, dtype=np.int64).reshape(-1)
+    n = len(nn)
+    out = np.empty(n, dtype=np.int64)
+    if _LIB is not None:
+        _LIB.tpuslam_union_find(
+            nn.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        if 0 <= nn[i] < n:
+            ri, rj = find(i), find(int(nn[i]))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    for i in range(n):
+        out[i] = find(i)
+    return out
 
 
 class SpatialIndex:

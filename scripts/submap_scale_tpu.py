@@ -99,16 +99,40 @@ def main():
     sizes = [len(s.lm_local) for s in run.submaps]
     # Drop the first chunk (compile) from the flatness check.
     th = np.asarray(t_hist[1:])
+    err = np.linalg.norm(
+        (run.slam_pose[a] - run.true_pose[a])[:, :2], axis=1)
+    thirds = [float(np.median(x)) for x in np.array_split(err, 3)]
     print(json.dumps({
         "stage": "run", "n_epochs_used": int(a.sum() // 9),
         "n_submaps": len(run.submaps),
         "total_local_landmarks": int(sum(sizes)),
         "online_ate_m": round(ate, 3),
+        "median_err_by_third_m": [round(t, 2) for t in thirds],
         "ms_per_epoch_first_decile": round(
             float(np.mean(th[: max(1, len(th) // 10)])), 3),
         "ms_per_epoch_last_decile": round(
             float(np.mean(th[-max(1, len(th) // 10):])), 3),
     }), flush=True)
+    tr = slam.trace
+    if tr:
+        co = np.asarray([t["corr_m"] for t in tr])
+        nacc = sum(t["accepted"] for t in tr)
+        print(json.dumps({
+            "stage": "trace", "n_corrections": len(tr),
+            "n_accepted": int(nacc),
+            "corr_m_p50": round(float(np.median(co)), 2),
+            "corr_m_max": round(float(co.max()), 2),
+            "rejected_sizes_m": [round(t["corr_m"], 1) for t in tr
+                                 if not t["accepted"]][:20],
+        }), flush=True)
+    np.savez("/tmp/submap_scale_diag.npz",
+             slam_pose=run.slam_pose[a][::9].astype(np.float32),
+             true_pose=run.true_pose[a][::9].astype(np.float32),
+             anchors=run.anchors,
+             submap_sizes=np.asarray(sizes),
+             corr_m=np.asarray([t["corr_m"] for t in tr]),
+             corr_rad=np.asarray([t["corr_rad"] for t in tr]),
+             accepted=np.asarray([t["accepted"] for t in tr]))
 
     t0 = time.time()
     prob, gids, anchors = optimize_anchor_graph(

@@ -50,12 +50,21 @@ def ekf_update_model(cap: int, max_nz: int, n_map: int, *,
                      bytes_per: int = 4,
                      hbm_gbps: float = 819.0,
                      link_gbps: float = 45.0,
+                     collective_latency_s: float = 0.0,
                      covariance_passes: float = 3.0) -> CommModel:
     """Predict per-update time/efficiency of the sharded Schur EKF update.
 
     `link_gbps` is the per-direction bandwidth of the fabric the 'map'
     axis rides: ICI (~45 GB/s on v5e) within a host, DCN (~12.5 GB/s)
     when the map axis must span hosts (1M-landmark configs).
+    `collective_latency_s` is the fixed per-collective launch/sync cost
+    (two collectives per update); calibrate both constants against a real
+    mesh with `measure_collectives` when one is available.
+
+    HONESTY CAVEAT: in this environment (one reachable chip) the defaults
+    are datasheet values, NOT measured collective performance; the only
+    runnable calibration target is the virtual CPU mesh, which validates
+    the model's affine latency+bandwidth SHAPE but not the magnitudes.
     """
     m2 = 2 * max_nz
     D = n_map
@@ -63,7 +72,8 @@ def ekf_update_model(cap: int, max_nz: int, n_map: int, *,
 
     by_psum = 2.0 * m2 * m2 * bytes_per
     by_ag = (D - 1) / D * rows * m2 * bytes_per if D > 1 else 0.0
-    t_comm = (by_psum + by_ag) / (link_gbps * 1e9) if D > 1 else 0.0
+    t_comm = ((by_psum + by_ag) / (link_gbps * 1e9)
+              + 2.0 * collective_latency_s) if D > 1 else 0.0
     t_comp = covariance_passes * rows * rows * bytes_per / (
         D * hbm_gbps * 1e9
     )
@@ -81,6 +91,77 @@ def scaling_table(cap: int, max_nz: int, shard_counts=(1, 2, 4, 8, 16),
                   **kw) -> list[CommModel]:
     """Efficiency vs shard count at fixed problem size (strong scaling)."""
     return [ekf_update_model(cap, max_nz, d, **kw) for d in shard_counts]
+
+
+def measure_collectives(sizes=(2 ** 12, 2 ** 16, 2 ** 20, 2 ** 22),
+                        n_rep: int = 5, axis: str = "map"):
+    """Microbenchmark psum / all_gather on whatever mesh THIS process can
+    build, and fit the affine collective model t = latency + bytes/bw.
+
+    Returns {"psum": {"latency_s", "gbps"}, "all_gather": {...},
+    "n_devices", "platform"} — feed the fitted constants into
+    ekf_update_model(link_gbps=..., collective_latency_s=...).
+
+    On real multi-chip hardware this calibrates the ICI constants the
+    scaling table otherwise takes from datasheets.  On this environment's
+    8-device virtual CPU mesh the numbers are host overhead (shared
+    memory, one physical CPU) — useful only as a shape check of the
+    model, never as TPU bandwidth; callers should report the platform
+    alongside the fit.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()
+    D = len(devs)
+    if D < 2:
+        return {"n_devices": D, "platform": devs[0].platform,
+                "psum": None, "all_gather": None,
+                "note": "needs >= 2 devices"}
+    mesh = Mesh(np.asarray(devs), (axis,))
+
+    def timed(fn, x):
+        fn(x).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            fn(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results = {"n_devices": D, "platform": devs[0].platform}
+    ops = {
+        "psum": lambda x: lax.psum(x, axis),
+        "all_gather": lambda x: lax.all_gather(x, axis, tiled=True),
+    }
+    for name, op in ops.items():
+        ts, bys = [], []
+        for n in sizes:
+            f = jax.jit(jax.shard_map(
+                op, mesh=mesh, in_specs=P(axis), out_specs=P(None),
+                check_vma=False,
+            ))
+            x = jnp.ones((D * n,), jnp.float32)
+            ts.append(timed(f, x))
+            # Ring cost per link: psum moves ~2*n floats, all_gather
+            # (D-1)/D * D*n — use the same per-link convention as the
+            # model above.
+            bys.append((2.0 * n if name == "psum"
+                        else (D - 1) * n) * 4.0)
+        A = np.stack([np.ones(len(ts)), np.asarray(bys)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
+        lat, per_byte = float(coef[0]), float(max(coef[1], 1e-15))
+        results[name] = {
+            "latency_s": max(lat, 0.0),
+            "gbps": 1.0 / per_byte / 1e9,
+            "points": [(int(b), float(t)) for b, t in zip(bys, ts)],
+        }
+    return results
 
 
 def min_cap_for_efficiency(target: float, max_nz: int, n_map: int,

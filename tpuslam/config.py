@@ -98,6 +98,20 @@ class SimConfig:
     # tiny per-tick kernels across ticks.
     tick_unroll: int = 1
 
+    # --- FastSLAM per-particle map maintenance (no reference analog: the
+    # reference declares FastSLAM but implements none, src/common.jl:14-34;
+    # without maintenance the per-particle gated-NN maps saturate their
+    # slots with drift-induced duplicates over multiple laps). ---
+    pf_merge_radius: float = 1.0   # [m] merge features closer than this
+    pf_prune_below: int = -3       # drop features with evidence count < this
+    pf_visibility_margin: float = 0.7   # miss-penalty range fraction
+    # Measured (100p, course1, 2 seeds): floor -3 + margin 0.7 keeps the
+    # prune dormant on healthy runs (identical results to merge-only)
+    # while still bounding true spurious growth; floor 0 + margin 0.85
+    # over-prunes — pose-sample error near the visibility boundary makes
+    # false "missed" penalties, features prune+respawn, and the map
+    # collapses (seed 0: coverage 0.37 vs 0.91).
+
     @property
     def state_dim(self) -> int:
         return 3 + 2 * self.capacity

@@ -21,6 +21,7 @@ algorithm code does.  This module finishes it, designed TPU-first:
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -44,6 +45,10 @@ class PFState(NamedTuple):
     fP: jnp.ndarray      # (Np, cap, 2, 2) per-particle feature covariances
     logw: jnp.ndarray    # (Np,) log importance weights (normalized-ish)
     n: jnp.ndarray       # (Np,) int32 active features per particle
+    cnt: jnp.ndarray     # (Np, cap) int32 per-feature evidence counter
+    #   +1 per matched observation, init 2 on creation, -1 when the feature
+    #   was expected visible but unmatched; maintain_maps prunes below the
+    #   configured floor (classic FastSLAM landmark-existence evidence).
 
     @property
     def num_particles(self) -> int:
@@ -63,6 +68,7 @@ def make_pf_state(pose, n_particles: int, capacity: int,
         fP=jnp.zeros((n_particles, capacity, 2, 2), dtype),
         logw=jnp.full((n_particles,), -jnp.log(float(n_particles)), dtype),
         n=jnp.zeros((n_particles,), jnp.int32),
+        cnt=jnp.zeros((n_particles, capacity), jnp.int32),
     )
 
 
@@ -143,10 +149,17 @@ def _particle_scores(pose, fm, fP, n, z, z_mask, R):
     return jnp.where(valid, nis, _INF), jnp.where(valid, nd, _INF)
 
 
-def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
+def _particle_measurement(pose, fm, fP, n, cnt, z, z_mask, R, gate1, gate2,
+                          sensor_range=None, visibility_margin=0.85):
     """Association + 2x2 EKF updates + augmentation for ONE particle.
 
-    Returns (fm, fP, n, dlogw)."""
+    Also maintains the per-feature evidence counter: +1 per matched
+    observation, 2 on creation, and (when `sensor_range` is given) -1 for
+    features inside `visibility_margin * sensor_range` of the particle in
+    its forward half-plane (the sim's visibility model,
+    ref sim/sim-utils.jl:12-28) that matched nothing this epoch.
+
+    Returns (fm, fP, n, cnt, dlogw)."""
     cap = fm.shape[0]
     dtype = pose.dtype
 
@@ -258,21 +271,140 @@ def _particle_measurement(pose, fm, fP, n, z, z_mask, R, gate1, gate2):
     fP = jnp.stack(
         [jnp.stack([q00, q01], -1), jnp.stack([q01, q11], -1)], -2
     )
+
+    # --- evidence counters (scatter-free, same one-hot masks).
+    active = slots < n
+    cnt = cnt + (Em.sum(0)).astype(cnt.dtype)            # +1 per match
+    cnt = jnp.where(hit_n, 2, cnt)                       # fresh feature
+    if sensor_range is not None:
+        dxv = fm[:, 0] - pose[0]
+        dyv = fm[:, 1] - pose[1]
+        front = dxv * jnp.cos(pose[2]) + dyv * jnp.sin(pose[2]) > 0
+        near = (dxv * dxv + dyv * dyv
+                < (visibility_margin * sensor_range) ** 2)
+        missed = active & front & near & ~hit & ~hit_n
+        cnt = cnt - missed.astype(cnt.dtype)
+    cnt = jnp.where(active | hit_n, cnt, 0)
+
     n = jnp.minimum(n + jnp.sum(mi, dtype=n.dtype), cap).astype(n.dtype)
 
-    return fm, fP, n, dlogw.astype(dtype)
+    return fm, fP, n, cnt, dlogw.astype(dtype)
 
 
-def measurement_update(st: PFState, z, z_mask, R, gate1, gate2) -> PFState:
+def measurement_update(st: PFState, z, z_mask, R, gate1, gate2,
+                       sensor_range=None,
+                       visibility_margin=0.85) -> PFState:
     """Vmapped per-particle association + map update + weight update."""
-    fm, fP, n, dlogw = jax.vmap(
-        lambda p, m, c, k: _particle_measurement(
-            p, m, c, k, z, z_mask, R, gate1, gate2
+    fm, fP, n, cnt, dlogw = jax.vmap(
+        lambda p, m, c, k, e: _particle_measurement(
+            p, m, c, k, e, z, z_mask, R, gate1, gate2,
+            sensor_range, visibility_margin,
         )
-    )(st.poses, st.fm, st.fP, st.n)
+    )(st.poses, st.fm, st.fP, st.n, st.cnt)
     logw = st.logw + dlogw
     logw = logw - jax.scipy.special.logsumexp(logw)  # normalize
-    return PFState(poses=st.poses, fm=fm, fP=fP, logw=logw, n=n)
+    return PFState(poses=st.poses, fm=fm, fP=fP, logw=logw, n=n, cnt=cnt)
+
+
+def _particle_maintain(fm, fP, n, cnt, merge_r2, prune_below):
+    """Prune + merge the map of ONE particle, scatter-free.
+
+    Prune: drop features whose evidence counter fell below `prune_below`
+    (negative information from expected-but-missed sightings).
+
+    Merge: features whose means lie within sqrt(merge_r2) of each other are
+    the same physical landmark seen twice (pose-sample drift spawned a
+    duplicate past the new-feature gate).  Clusters form by transitive
+    closure over the proximity graph — parent = lowest-index neighbor,
+    resolved to roots by log2(cap) one-hot matrix squarings (pointer
+    doubling; no dynamic gathers).  Members fuse by uniform covariance
+    intersection: Lam = mean of member informations, eta = mean of member
+    information-vectors — the mean is the information-weighted mean of the
+    members while the covariance stays CONSERVATIVE (members are correlated
+    — they come from the same vehicle track — so plain information addition
+    would double-count; CI never under-states).  Surviving roots compact to
+    the slot prefix with a one-hot permutation matmul; freed slots zero.
+
+    Returns (fm, fP, n, cnt)."""
+    cap = fm.shape[0]
+    dtype = fm.dtype
+    slots = jnp.arange(cap)
+    keep = (slots < n) & (cnt >= prune_below)
+
+    # Proximity graph over kept features (+ self loops for the argmax).
+    d = fm[:, None, :] - fm[None, :, :]
+    d2 = (d * d).sum(-1)
+    A = (d2 <= merge_r2) & keep[:, None] & keep[None, :]
+    A = A | jnp.eye(cap, dtype=bool)
+    parent = jnp.argmax(A, axis=0)            # lowest-index neighbor <= j
+
+    # Pointer doubling: M[j, i] = [parent^(2^k)(j) == i].
+    M = (parent[:, None] == slots[None, :]).astype(dtype)
+    for _ in range(max(1, int(math.ceil(math.log2(cap))))):
+        M = jax.lax.dot(M, M, precision=_HI)  # 0/1 exact in f32
+    root = jnp.argmax(M, axis=1)
+
+    # Per-root member sums (uniform covariance intersection).
+    W = M * keep[:, None].astype(dtype)       # (j, i) membership
+    mcount = W.sum(0)                         # members per root slot
+    p00, p01, p11 = fP[:, 0, 0], fP[:, 0, 1], fP[:, 1, 1]
+    det = p00 * p11 - p01 * p01
+    det = jnp.where(keep, det, 1.0)
+    l00 = jnp.where(keep, p11 / det, 0.0)
+    l01 = jnp.where(keep, -p01 / det, 0.0)
+    l11 = jnp.where(keep, p00 / det, 0.0)
+    e0 = l00 * fm[:, 0] + l01 * fm[:, 1]
+    e1 = l01 * fm[:, 0] + l11 * fm[:, 1]
+    comp = jnp.stack([l00, l01, l11, e0, e1, cnt.astype(dtype)], axis=-1)
+    sums = jax.lax.dot(W.T, comp, precision=_HI)       # (cap, 6)
+    m_safe = jnp.maximum(mcount, 1.0)
+    L00, L01, L11 = sums[:, 0] / m_safe, sums[:, 1] / m_safe, sums[:, 2] / m_safe
+    E0, E1 = sums[:, 3] / m_safe, sums[:, 4] / m_safe
+    detL = jnp.where(mcount > 0, L00 * L11 - L01 * L01, 1.0)
+    mrg_x = (L11 * E0 - L01 * E1) / detL
+    mrg_y = (L00 * E1 - L01 * E0) / detL
+    mrg_p00 = L11 / detL
+    mrg_p01 = -L01 / detL
+    mrg_p11 = L00 / detL
+
+    # Singleton roots keep their original values bit-exactly (no inverse
+    # round trip); only true merges (>= 2 members) take the CI result.
+    one = mcount <= 1.5
+    fx = jnp.where(one, fm[:, 0], mrg_x)
+    fy = jnp.where(one, fm[:, 1], mrg_y)
+    q00 = jnp.where(one, p00, mrg_p00)
+    q01 = jnp.where(one, p01, mrg_p01)
+    q11 = jnp.where(one, p11, mrg_p11)
+    cnt_m = jnp.where(one, cnt.astype(dtype), sums[:, 5])
+
+    # Compact surviving roots to the slot prefix (one-hot permutation).
+    is_root = keep & (root == slots)
+    new_pos = jnp.cumsum(is_root.astype(jnp.int32)) - is_root.astype(jnp.int32)
+    C = ((new_pos[None, :] == slots[:, None]) & is_root[None, :]).astype(dtype)
+    packed = jax.lax.dot(
+        C, jnp.stack([fx, fy, q00, q01, q11, cnt_m], axis=-1), precision=_HI
+    )
+    fm = packed[:, :2]
+    fP = jnp.stack(
+        [jnp.stack([packed[:, 2], packed[:, 3]], -1),
+         jnp.stack([packed[:, 3], packed[:, 4]], -1)], -2
+    )
+    cnt = jnp.round(packed[:, 5]).astype(cnt.dtype)
+    n = jnp.sum(is_root, dtype=n.dtype)
+    return fm, fP, n, cnt
+
+
+def maintain_maps(st: PFState, merge_radius: float,
+                  prune_below: int = 0) -> PFState:
+    """Per-particle map maintenance: prune negative-evidence features and
+    merge near-coincident duplicates (see _particle_maintain).  Purely
+    per-particle — shards trivially over the particle axis."""
+    fm, fP, n, cnt = jax.vmap(
+        lambda m, c, k, e: _particle_maintain(
+            m, c, k, e, merge_radius * merge_radius, prune_below
+        )
+    )(st.fm, st.fP, st.n, st.cnt)
+    return st._replace(fm=fm, fP=fP, n=n, cnt=cnt)
 
 
 def effective_sample_size(logw):
@@ -304,6 +436,7 @@ def maybe_resample(st: PFState, key, threshold: float = 0.5) -> PFState:
         fP=st.fP[idx],
         logw=jnp.where(do, flat, st.logw),
         n=st.n[idx],
+        cnt=st.cnt[idx],
     )
 
 

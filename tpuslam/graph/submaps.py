@@ -143,6 +143,10 @@ class SubmapSLAM:
         # key schedule — deterministic-equivalence tests); True shrinks
         # chunks near closure so the filter never runs saturated.
         self.adaptive_chunks = adaptive_chunks
+        # Per-closure diagnostics (host-side, appended by run()): dicts of
+        # anchor-correction size / acceptance / table growth — what a
+        # failed at-scale run needs for offline analysis.
+        self.trace: list[dict] = []
         # Handover seeding: landmarks within sensor range of the closure
         # pose are copied into the new submap (re-anchored means, marginal
         # covariances inflated by `handover_inflate`, cross-covariances
@@ -240,7 +244,16 @@ class SubmapSLAM:
                         register_radius=self.register_radius,
                     )
                     cand = se2_compose(opt[-1], submaps[-1].rel_pose)
-                    if self.accept_correction(cand, anchor):
+                    ok = self.accept_correction(cand, anchor)
+                    self.trace.append({
+                        "closure": len(submaps),
+                        "n_epochs": done,
+                        "corr_m": float(np.linalg.norm(
+                            cand[:2] - anchor[:2])),
+                        "corr_rad": float(_wrap(cand[2] - anchor[2])),
+                        "accepted": bool(ok),
+                    })
+                    if ok:
                         anchor = cand
                 anchors.append(anchor.copy())
 

@@ -54,7 +54,8 @@ def pf_sim_state_specs(axis: str = AXIS) -> PFShardedSimState:
     return PFShardedSimState(
         vehicle=VehicleState(P(), P(), P(), P()),
         pf=PFState(
-            poses=P(axis), fm=P(axis), fP=P(axis), logw=P(axis), n=P(axis)
+            poses=P(axis), fm=P(axis), fP=P(axis), logw=P(axis), n=P(axis),
+            cnt=P(axis),
         ),
         key=P(),
     )
@@ -98,13 +99,13 @@ def _normalize_and_resample_shard(pf: PFState, key, threshold=0.5,
         my_idx = lax.dynamic_slice(idx, (b * np_local,), (np_local,))
         full = jax.tree.map(
             lambda a: lax.all_gather(a, axis, axis=0, tiled=True),
-            (pf.poses, pf.fm, pf.fP, pf.n),
+            (pf.poses, pf.fm, pf.fP, pf.n, pf.cnt),
         )
-        poses, fm, fP, n = jax.tree.map(lambda a: a[my_idx], full)
+        poses, fm, fP, n, cnt = jax.tree.map(lambda a: a[my_idx], full)
         flat = jnp.full(
             (np_local,), -jnp.log(float(np_total)), pf.logw.dtype
         )
-        return PFState(poses=poses, fm=fm, fP=fP, logw=flat, n=n)
+        return PFState(poses=poses, fm=fm, fP=fP, logw=flat, n=n, cnt=cnt)
 
     def keep(pf):
         return pf._replace(logw=logw_local)
@@ -169,15 +170,17 @@ def pf_observation_step_shard(cfg: SimConfig, landmarks,
     # Local vmapped update WITHOUT the global normalization (that happens in
     # the replicated bookkeeping below): call the per-particle kernel
     # directly to keep weights un-normalized across shards.
-    from tpuslam.filters.fastslam import _particle_measurement
+    from tpuslam.filters.fastslam import _particle_measurement, maintain_maps
 
-    fm, fP, n, dlogw = jax.vmap(
-        lambda p, m, c, k: _particle_measurement(
-            p, m, c, k, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat
+    fm, fP, n, cnt, dlogw = jax.vmap(
+        lambda p, m, c, k, e: _particle_measurement(
+            p, m, c, k, e, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat,
+            cfg.vehicle.sensor_range, cfg.pf_visibility_margin,
         )
-    )(st.pf.poses, st.pf.fm, st.pf.fP, st.pf.n)
+    )(st.pf.poses, st.pf.fm, st.pf.fP, st.pf.n, st.pf.cnt)
     pf = PFState(poses=st.pf.poses, fm=fm, fP=fP,
-                 logw=st.pf.logw + dlogw, n=n)
+                 logw=st.pf.logw + dlogw, n=n, cnt=cnt)
+    pf = maintain_maps(pf, cfg.pf_merge_radius, cfg.pf_prune_below)
     pf = _normalize_and_resample_shard(pf, kr, axis=axis)
     return tree_select(
         active, PFShardedSimState(st.vehicle, pf, key), st._replace(key=key)

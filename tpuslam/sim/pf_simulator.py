@@ -18,6 +18,7 @@ from tpuslam.config import SimConfig
 from tpuslam.filters.fastslam import (
     PFState,
     estimate_pose,
+    maintain_maps,
     make_pf_state,
     maybe_resample,
     measurement_update,
@@ -80,8 +81,11 @@ def pf_observation_step(cfg: SimConfig, landmarks, st: PFSimState, obs_noise,
     )
     key, kr = jax.random.split(st.key)
     pf = measurement_update(
-        st.pf, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat
+        st.pf, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat,
+        sensor_range=cfg.vehicle.sensor_range,
+        visibility_margin=cfg.pf_visibility_margin,
     )
+    pf = maintain_maps(pf, cfg.pf_merge_radius, cfg.pf_prune_below)
     pf = maybe_resample(pf, kr)
     return tree_select(
         active, PFSimState(st.vehicle, pf, key), st._replace(key=key)

@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--out", default="/tmp/ekfsim.png")
     ap.add_argument("--frames", default=None,
                     help="directory for per-epoch frame captures")
+    ap.add_argument("--live", action="store_true",
+                    help="interactive real-time window (the reference's "
+                         "GR mode, run-ekfsim.jl:13-29); throttled to "
+                         "real time like ekfslam-sim.jl:133-137")
     args = ap.parse_args()
 
     import jax
@@ -59,24 +63,35 @@ def main():
         )
         return st2, key, recs, z, z_mask
 
-    plot = ScenePlotter(cfg.scene.boundaries, waypoints, landmarks)
+    plot = ScenePlotter(cfg.scene.boundaries, waypoints, landmarks,
+                        live=args.live)
+    if args.live and not plot.live:
+        print("no display/GUI backend — falling back to headless capture")
+    import time
+
+    epoch_wall = cfg.substeps_per_obs * cfg.dt  # real-time pacing target
     key = jax.random.key(args.seed + 1)
     tt, ss = [], []
     for e in range(args.epochs):
+        t_mark = time.time()
         st, key, recs, z, z_mask = step(st, key)
         act = np.asarray(recs.active)
         tt.append(np.asarray(recs.true_pose)[act])
         ss.append(np.asarray(recs.slam_pose)[act])
         if int(st.vehicle.waypoint_id) == -1:
             break
-        if args.frames and e % 10 == 0:
+        if plot.live or (args.frames and e % 10 == 0):
             zm = np.asarray(z_mask)
             lid = np.asarray(
                 laser_lines(np.asarray(z)[zm], np.asarray(st.ekf.x[:3]))
             ) if zm.any() else None
             plot.update(np.concatenate(tt), np.concatenate(ss),
                         state=st.ekf, lidar=lid)
-            plot.save(os.path.join(args.frames, f"frame_{e:04d}.png"))
+            if args.frames and e % 10 == 0:
+                plot.save(os.path.join(args.frames, f"frame_{e:04d}.png"))
+        if plot.live:
+            # Sleep-to-deadline real-time throttle (ekfslam-sim.jl:133-137).
+            plot.refresh(max(epoch_wall - (time.time() - t_mark), 1e-4))
 
     true_track = np.concatenate(tt)
     slam_track = np.concatenate(ss)

@@ -25,6 +25,29 @@ def _marginal_time(run, n1, n2):
     return marginal_ms(run, n1, n2) / 1e3
 
 
+def config2_setup(capacity: int = 1024, n_landmarks: int = 1000,
+                  extent: float = 300.0, max_obs: int = 48, seed: int = 4):
+    """THE config-2 scene (BASELINE config 2: 1k landmarks, 1 chip).
+
+    bench.py's headline and scripts/chip_r2.py's dense sweep both build
+    the scene through here so 'the cap-1024 number' is ONE number: the r2
+    documents disagreed (0.45 vs 0.601 ms/epoch) because the sweep used a
+    sparser 410 m scene with max_obs 32 while the bench used this 300 m /
+    max_obs 48 scene — max_obs sets the update-panel width m2 = 2*max_obs
+    and with it most of the per-epoch cost.  Returns (cfg, wp, lm)."""
+    from tpuslam.config import SceneConfig, SimConfig
+    from tpuslam.sim.scene import make_grid_course, make_landmarks
+
+    scene = SceneConfig(
+        xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
+        n_landmarks=n_landmarks, legacy_integer_landmarks=False,
+    )
+    cfg = SimConfig(scene=scene, capacity=capacity, max_obs=max_obs)
+    wp = make_grid_course(extent, n_per_side=6, inset=0.1)
+    lm = make_landmarks(scene, seed=seed)
+    return cfg, wp, lm
+
+
 def ekf_throughput(cfg, waypoints, landmarks, n_epochs, dtype=None):
     """Closed-loop EKF-SLAM: returns (ticks/s, updates/s, ms/epoch)."""
     import jax

@@ -15,15 +15,41 @@ import numpy as np
 
 
 class ScenePlotter:
-    """Draw the full SLAM scene; ref gr-draw.jl:4-152."""
+    """Draw the full SLAM scene; ref gr-draw.jl:4-152.
 
-    def __init__(self, boundaries, waypoints, landmarks, figsize=6.0):
+    `live=True` asks for an interactive window redrawn per epoch — the
+    reference's real-time GR window (gr-draw.jl:17-23 init_plot_window +
+    run-ekfsim.jl:13-29 per-tick monitor).  Falls back to headless Agg
+    (and reports it via `.live`) when no display/GUI backend exists, so
+    the same script works on a workstation and in CI."""
+
+    def __init__(self, boundaries, waypoints, landmarks, figsize=6.0,
+                 live=False):
         import matplotlib
 
-        matplotlib.use("Agg", force=False)
+        self.live = False
+        if live:
+            try:
+                import os as _os
+
+                if _os.environ.get("DISPLAY") or _os.environ.get(
+                        "WAYLAND_DISPLAY"):
+                    for backend in ("QtAgg", "TkAgg", "GTK3Agg"):
+                        try:
+                            matplotlib.use(backend, force=True)
+                            self.live = True
+                            break
+                        except Exception:
+                            continue
+            except Exception:
+                pass
+        if not self.live:
+            matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
 
         self.plt = plt
+        if self.live:
+            plt.ion()
         self.fig, self.ax = plt.subplots(
             figsize=(figsize, figsize), dpi=100
         )
@@ -104,6 +130,14 @@ class ScenePlotter:
                 pts, closed=True, color="#2fae62"
             )
             self.ax.add_patch(self.vehicle_patch)
+
+    def refresh(self, pause_s: float = 0.001):
+        """Push the current frame to the live window (no-op headless)."""
+        if not self.live:
+            return
+        self.fig.canvas.draw_idle()
+        self.fig.canvas.flush_events()
+        self.plt.pause(max(pause_s, 1e-4))
 
     def save(self, path: str):
         self.fig.savefig(path, bbox_inches="tight")

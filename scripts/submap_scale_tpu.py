@@ -1,21 +1,32 @@
 #!/usr/bin/env python
-"""Submap EKF-SLAM at scale on the real chip (config-5 evidence).
+"""Submap EKF-SLAM at scale on the real chip — the config-5 pipeline.
 
-Maps a scene with total landmarks >> any single dense-EKF capacity using
-capacity-1024 submaps (graph/submaps.py), then closes the loop globally
-with the anchor-graph BA.  Reports:
+ONE command that runs both halves end-to-end:
 
+  1. front end — capacity-bounded submap EKF (graph/submaps.py) over a
+     scene with total landmarks >> any dense-EKF capacity, with the
+     constant-cost online alignment corrector;
+  2. backend — the landmark-major grid BA (graph/ba_large.py, the
+     machinery measured at 1M landmarks) solving the anchor graph
+     ON DEVICE via build_grid_from_submaps.
+
+Reports:
   * per-chunk wall ms/epoch over the run — must stay FLAT as the total
-    mapped count grows (the submap architecture's whole point: per-update
-    cost is O((2C)^2), independent of global map size);
-  * total landmarks mapped vs scene truth within the sensed corridor;
-  * post-BA global map quality (duplicates / spurious / matched RMSE).
+    mapped count grows (per-update cost is O((2C)^2), independent of
+    global map size);
+  * online ATE (+ median error by run third — drift visibility);
+  * post-BA global map quality (coverage / duplicates / spurious /
+    matched RMSE) and backend wall time.
 
-Usage: python scripts/submap_scale_tpu.py [n_landmarks] [extent] [cap]
+Usage:
+  python scripts/submap_scale_tpu.py [n_landmarks] [extent] [cap]
+         [--mode align|ba|none] [--solver grid|host] [--rounds N]
+         [--diag PATH.npz]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -27,8 +38,31 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_landmarks", nargs="?", type=int, default=20000)
+    ap.add_argument("extent", nargs="?", type=float, default=800.0)
+    ap.add_argument("cap", nargs="?", type=int, default=512)
+    ap.add_argument("--mode", default="align",
+                    choices=("align", "ba", "none"))
+    ap.add_argument("--solver", default="grid", choices=("grid", "host"))
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="front-end epochs per compiled chunk")
+    ap.add_argument("--ba-chunk", type=int, default=8192,
+                    help="grid-BA landmark chunk")
+    ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--diag", default="/tmp/submap_scale_diag.npz")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin to host CPU (small-scale validation runs)")
+    ap.add_argument("--no-handover", action="store_true")
+    ap.add_argument("--close-frac", type=float, default=0.75)
+    ap.add_argument("--handover-inflate", type=float, default=4.0)
+    args = ap.parse_args()
+
     import jax
-    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from tpuslam.bench.metrics import ate_rmse, map_quality
     from tpuslam.config import SceneConfig, SimConfig
@@ -36,12 +70,11 @@ def main():
         SubmapSLAM,
         assemble_global_map,
         optimize_anchor_graph,
+        optimize_anchor_graph_grid,
     )
     from tpuslam.sim.scene import make_grid_course, make_landmarks
 
-    n_lm = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    extent = float(sys.argv[2]) if len(sys.argv) > 2 else 800.0
-    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    n_lm, extent, cap = args.n_landmarks, args.extent, args.cap
 
     scene = SceneConfig(xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
                         n_landmarks=n_lm, legacy_integer_landmarks=False)
@@ -53,24 +86,26 @@ def main():
     # open-loop (online ATE 71 m at 20k landmarks).
     n_side = max(4, int(extent / 40.0) + 1)
     wp = make_grid_course(extent, n_per_side=n_side, inset=0.05)
-    lm = make_landmarks(scene, seed=4)
+    lm = make_landmarks(scene, seed=args.seed)
     dev = jax.devices()[0]
     print(json.dumps({"stage": "env", "platform": dev.platform,
                       "kind": dev.device_kind, "n_landmarks": n_lm,
-                      "extent": extent, "cap": cap,
-                      "course_rows": n_side}), flush=True)
+                      "extent": extent, "cap": cap, "mode": args.mode,
+                      "solver": args.solver, "course_rows": n_side}),
+          flush=True)
 
     # Density-aware match gate: must stay well under the landmark spacing
     # or cross-submap matching merges NEIGHBORS (wrong loop closures).
     spacing = extent / max(np.sqrt(n_lm), 1.0)
     radius = float(min(3.0, 0.4 * spacing))
-    chunk = 128
-    slam = SubmapSLAM(cfg, close_frac=0.75, chunk_epochs=chunk,
-                      match_radius=radius)
+    slam = SubmapSLAM(cfg, close_frac=args.close_frac,
+                      chunk_epochs=args.chunk,
+                      match_radius=radius, online_mode=args.mode,
+                      handover=not args.no_handover,
+                      handover_inflate=args.handover_inflate)
 
     # Instrumented run: wrap the runner loop to time chunks.
     t_hist = []
-    orig_run = slam.run
 
     import tpuslam.sim.simulator as simmod
     real_run_epochs = simmod.run_epochs_rng
@@ -86,13 +121,15 @@ def main():
         return out
 
     simmod.run_epochs_rng = timed
+    t_front0 = time.time()
     try:
         # Budget: course length / (9 ticks * dt * v) epochs, + margin.
         n_epochs = int(n_side * extent / 0.6) // 1 + 2000
-        n_epochs = min(n_epochs, 40000)
-        run = orig_run(wp, lm, n_epochs, jax.random.key(0))
+        n_epochs = min(n_epochs, 120000)
+        run = slam.run(wp, lm, n_epochs, jax.random.key(0))
     finally:
         simmod.run_epochs_rng = real_run_epochs
+    t_front = time.time() - t_front0
 
     a = run.active
     ate = float(ate_rmse(run.slam_pose[a], run.true_pose[a]))
@@ -108,6 +145,7 @@ def main():
         "total_local_landmarks": int(sum(sizes)),
         "online_ate_m": round(ate, 3),
         "median_err_by_third_m": [round(t, 2) for t in thirds],
+        "t_frontend_s": round(t_front, 1),
         "ms_per_epoch_first_decile": round(
             float(np.mean(th[: max(1, len(th) // 10)])), 3),
         "ms_per_epoch_last_decile": round(
@@ -125,29 +163,30 @@ def main():
             "rejected_sizes_m": [round(t["corr_m"], 1) for t in tr
                                  if not t["accepted"]][:20],
         }), flush=True)
-    np.savez("/tmp/submap_scale_diag.npz",
-             slam_pose=run.slam_pose[a][::9].astype(np.float32),
-             true_pose=run.true_pose[a][::9].astype(np.float32),
-             anchors=run.anchors,
-             submap_sizes=np.asarray(sizes),
-             corr_m=np.asarray([t["corr_m"] for t in tr]),
-             corr_rad=np.asarray([t["corr_rad"] for t in tr]),
-             accepted=np.asarray([t["accepted"] for t in tr]))
 
     t0 = time.time()
-    prob, gids, anchors = optimize_anchor_graph(
-        run.submaps, rounds=3, iters=15, match_radius=radius,
-        init_anchors=[sm.anchor0 for sm in run.submaps],
-        register_radius=15.0,
-    )
+    init = [sm.anchor0 for sm in run.submaps]
+    if args.solver == "grid":
+        prob, gids, anchors = optimize_anchor_graph_grid(
+            run.submaps, rounds=args.rounds, iters=12,
+            match_radius=radius, init_anchors=init,
+            register_radius=15.0, chunk=args.ba_chunk,
+            log=lambda m: print(f"# {m}", file=sys.stderr, flush=True),
+        )
+    else:
+        prob, gids, anchors = optimize_anchor_graph(
+            run.submaps, rounds=args.rounds, iters=15, match_radius=radius,
+            init_anchors=init, register_radius=15.0,
+        )
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids,
                              int(prob.lm_mask.sum()))
     mq = map_quality(gm, lm)
     print(json.dumps({
-        "stage": "ba",
+        "stage": "ba", "solver": args.solver,
         "global_landmarks": int(len(gm)),
-        "t_anchor_ba_s": round(t_ba, 1),
+        "t_backend_s": round(t_ba, 1),
+        "t_total_s": round(t_front + t_ba, 1),
         "n_anchors": int(prob.poses.shape[0]),
         "matched_rmse_m": round(float(mq["matched_rmse"]), 3),
         "coverage": round(float(mq["coverage"]), 3),
@@ -155,6 +194,16 @@ def main():
         "n_spurious": int(mq["n_spurious"]),
         "n_matched_true": int(mq["n_matched_true"]),
     }), flush=True)
+
+    np.savez(args.diag,
+             slam_pose=run.slam_pose[a][::9].astype(np.float32),
+             true_pose=run.true_pose[a][::9].astype(np.float32),
+             anchors=run.anchors,
+             anchors_opt=np.asarray(anchors),
+             submap_sizes=np.asarray(sizes),
+             corr_m=np.asarray([t["corr_m"] for t in tr]),
+             corr_rad=np.asarray([t["corr_rad"] for t in tr]),
+             accepted=np.asarray([t["accepted"] for t in tr]))
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ hands global consistency to the anchor-graph BA.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuslam.bench.metrics import ate_rmse, map_quality
 from tpuslam.config import course1_config
@@ -263,3 +264,146 @@ def test_online_ba_gate_rejects_poisoned_correction():
                                        anchor)
     assert slam2.accept_correction(anchor + np.array([5.0, 0.0, 0.0]),
                                    anchor)
+
+
+def test_fit_se2_exact_recovery():
+    from tpuslam.graph.submaps import fit_se2
+
+    rng = np.random.default_rng(3)
+    src = rng.uniform(-20, 20, (30, 2))
+    th_true, t_true = 0.27, np.array([4.0, -2.5])
+    c, s = np.cos(th_true), np.sin(th_true)
+    dst = src @ np.array([[c, -s], [s, c]]).T + t_true
+    th, t = fit_se2(src, dst)
+    assert th == pytest.approx(th_true, abs=1e-12)
+    np.testing.assert_allclose(t, t_true, atol=1e-12)
+
+
+def test_align_submap_to_table_recovers_drift():
+    """The O(overlap)-per-closure online corrector: a submap drifted by a
+    known SE(2) error (beyond the NN gate, inside register_radius) aligns
+    back onto the table; fresh territory returns None."""
+    from tpuslam.graph.submaps import align_submap_to_table
+
+    rng = np.random.default_rng(5)
+    table = rng.uniform(0, 100, (300, 2))
+    sub = table[:80] + rng.normal(0, 0.05, (80, 2))
+    th, t = -0.02, np.array([3.5, -2.0])       # drift > 1 m gate
+    c, s = np.cos(th), np.sin(th)
+    drifted = sub @ np.array([[c, -s], [s, c]]).T + t
+
+    res = align_submap_to_table(drifted, table, radius=1.0,
+                                register_radius=8.0)
+    assert res is not None
+    th_c, t_c, n_in = res
+    assert n_in >= 40
+    # Correction inverts the injected drift: applying it to the drifted
+    # cloud must land back on the submap's true positions.
+    cc, sc = np.cos(th_c), np.sin(th_c)
+    back = drifted @ np.array([[cc, -sc], [sc, cc]]).T + t_c
+    assert float(np.median(np.linalg.norm(back - sub, axis=1))) < 0.15
+
+    # Fresh territory (no overlap): no correction.
+    far = drifted + 500.0
+    assert align_submap_to_table(far, table, radius=1.0,
+                                 register_radius=8.0) is None
+
+
+def test_grid_join_matches_factor_path():
+    """build_grid_from_submaps must encode the SAME problem as
+    build_anchor_ba: identical whiteners and a Gauss-Newton solution that
+    agrees between ba.gauss_newton and ba_large.gauss_newton_grid — the
+    correctness anchor for the at-scale pipeline join."""
+    from tpuslam.graph.ba import gauss_newton
+    from tpuslam.graph.ba_large import gauss_newton_grid
+    from tpuslam.graph.submaps import (
+        ClosedSubmap,
+        build_anchor_ba,
+        build_grid_from_submaps,
+    )
+
+    rng = np.random.default_rng(11)
+    lms = rng.uniform(0, 60, (40, 2))
+    anchors_true = np.array([[0.0, 0.0, 0.0], [20.0, 5.0, 0.4],
+                             [40.0, -3.0, -0.2]])
+
+    def local(anchor, pts):
+        c, s = np.cos(anchor[2]), np.sin(anchor[2])
+        return (pts - anchor[:2]) @ np.array([[c, -s], [s, c]])
+
+    sms, prev = [], None
+    for a in anchors_true:
+        vis = lms[np.linalg.norm(lms - a[:2], axis=1) < 35.0]
+        rel = (np.zeros(3) if prev is None
+               else np.concatenate([
+                   local(prev, a[:2][None])[0],
+                   [a[2] - prev[2]]]))
+        if prev is not None:
+            sms[-1] = sms[-1]._replace(rel_pose=rel)
+        sms.append(ClosedSubmap(
+            anchor0=a.copy(),
+            lm_local=local(a, vis) + rng.normal(0, 0.03, (len(vis), 2)),
+            lm_cov=np.tile(0.02 * np.eye(2), (len(vis), 1, 1)),
+            rel_pose=np.zeros(3), rel_cov=0.01 * np.eye(3),
+        ))
+        prev = a
+
+    # Perturbed initial anchors (the thing BA must fix).
+    anchors0 = anchors_true + rng.normal(0, 0.3, (3, 3)) * [1, 1, 0.02]
+    anchors0[0] = anchors_true[0]
+
+    probf, gidsf = build_anchor_ba(sms, match_radius=2.0,
+                                   anchors=anchors0)
+    probg, gidsg, M, dropped = build_grid_from_submaps(
+        sms, anchors0, match_radius=2.0, chunk=64)
+    assert dropped == 0
+    assert M == int(probf.lm_mask.sum())
+    for gf, gg in zip(gidsf, gidsg):
+        np.testing.assert_array_equal(gf, gg)
+    np.testing.assert_allclose(np.asarray(probg.obs_sqrt_info),
+                               np.asarray(probf.obs_sqrt_info), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(probg.odo_sqrt_info),
+                               np.asarray(probf.odo_sqrt_info), rtol=1e-6)
+
+    outf, _ = gauss_newton(probf, 12)
+    outg, _ = gauss_newton_grid(probg, 12, chunk=64)
+    pf, pg = np.asarray(outf.poses), np.asarray(outg.poses)
+    # Both must recover the true anchors (gauge prior weights differ —
+    # 1e3 vs information-scaled — so compare against truth, not bitwise).
+    assert float(np.abs(pf - anchors_true).max()) < 0.05
+    assert float(np.abs(pg - anchors_true).max()) < 0.05
+    lf = np.asarray(outf.landmarks)[np.asarray(probf.lm_mask)]
+    lg = np.asarray(outg.landmarks)[np.asarray(probg.lm_mask)]
+    np.testing.assert_allclose(lf, lg[: len(lf)], atol=0.05)
+
+
+def test_submap_align_mode_dense_field():
+    """online_mode='align' (constant cost per closure) + the on-device
+    grid solve must match the 'ba' mode's quality bounds on the dense
+    config-5 shape — the pipeline the at-scale runs use."""
+    from tpuslam.config import SceneConfig, SimConfig
+    from tpuslam.graph.submaps import optimize_anchor_graph_grid
+    from tpuslam.sim.scene import make_grid_course
+
+    scene = SceneConfig(xmin=0.0, xmax=160.0, ymin=0.0, ymax=160.0,
+                        n_landmarks=300, legacy_integer_landmarks=False)
+    cfg = SimConfig(scene=scene, capacity=96, max_obs=48)
+    wp = make_grid_course(160.0, 4, inset=0.05)
+    lm = make_landmarks(scene, seed=4)
+    slam = SubmapSLAM(cfg, close_frac=0.7, chunk_epochs=64,
+                      online_mode="align")
+    run = slam.run(wp, lm, 800, jax.random.key(0))
+    assert len(run.submaps) >= 3
+    a = run.active
+    ate = ate_rmse(run.slam_pose[a], run.true_pose[a])
+    assert np.isfinite(ate) and ate < 2.5
+
+    prob, gids, anchors = optimize_anchor_graph_grid(
+        run.submaps, rounds=2, iters=12, match_radius=3.0, chunk=512)
+    gm = assemble_global_map(run.submaps, anchors, gids,
+                             int(prob.lm_mask.sum()))
+    mq = map_quality(gm, lm)
+    assert mq["n_spurious"] <= 0.1 * len(gm)
+    assert mq["matched_rmse"] < 2.0
+    assert mq["coverage"] > 0.85
+    assert len(gm) <= 1.25 * mq["n_matched_true"]

@@ -52,8 +52,16 @@ class BAProblem(NamedTuple):
     prior_sqrt_info: jnp.ndarray  # (3, 3) prior on pose 0 (anchors gauge)
 
 
-def _obs_terms(poses, landmarks, prob):
-    """Whitened residuals + Jacobian blocks for every observation factor."""
+def _obs_terms(poses, landmarks, prob, huber=None):
+    """Whitened residuals + Jacobian blocks for every observation factor.
+
+    With `huber` set (whitened-sigma units, typically 2-4), factors are
+    IRLS-reweighted by sqrt(min(1, huber/||r||)) — the Gauss-Newton form
+    of the Huber robust kernel.  Wrong cross-submap matches are the one
+    outlier channel the submap pipeline has (measured ~10% of merged ids
+    in dense fields); a quadratic cost lets each of them drag the whole
+    anchor chain, a bounded-influence kernel caps them at gross-error
+    scale."""
     p = poses[prob.obs_p]                     # (Fz, 3)
     l = landmarks[prob.obs_l]                 # (Fz, 2)
     r, A, B = jax.vmap(obs_residual)(p, l, prob.obs_z)
@@ -62,6 +70,12 @@ def _obs_terms(poses, landmarks, prob):
     r = jnp.einsum("ok,fk->fo", W, r, precision=_HI) * m[:, None]
     A = jnp.einsum("ok,fkl->fol", W, A, precision=_HI) * m[:, None, None]
     B = jnp.einsum("ok,fkl->fol", W, B, precision=_HI) * m[:, None, None]
+    if huber is not None:
+        rn = jnp.sqrt(jnp.maximum((r * r).sum(-1), 1e-20))
+        sw = jnp.sqrt(jnp.minimum(1.0, huber / rn))
+        r = r * sw[:, None]
+        A = A * sw[:, None, None]
+        B = B * sw[:, None, None]
     return r, A, B
 
 
@@ -77,7 +91,7 @@ def _odo_terms(poses, prob):
     return r, Ji, Jj
 
 
-def _schur_terms(poses, landmarks, prob, damping):
+def _schur_terms(poses, landmarks, prob, damping, huber=None):
     """Per-landmark-eliminated contributions to the reduced pose system.
 
     Returns (Hpp_red, bp_red, Hll_inv, Hlp_blocks...) — everything needed to
@@ -86,7 +100,7 @@ def _schur_terms(poses, landmarks, prob, damping):
     """
     K = poses.shape[0]
     M = landmarks.shape[0]
-    r, A, B = _obs_terms(poses, landmarks, prob)
+    r, A, B = _obs_terms(poses, landmarks, prob, huber)
 
     # Hll: (M, 2, 2) block diag, scatter-added over factors.
     Hll = jnp.zeros((M, 2, 2), poses.dtype).at[prob.obs_l].add(
@@ -165,12 +179,12 @@ def _pose_only_terms(poses, prob):
     return Hpp.reshape(3 * K, 3 * K), bp.reshape(3 * K)
 
 
-def gn_step(prob: BAProblem, damping):
+def gn_step(prob: BAProblem, damping, huber=None):
     """One damped Gauss-Newton step.  Returns (new_poses, new_landmarks)."""
     K = prob.poses.shape[0]
     Hpp_o, bp_o = _pose_only_terms(prob.poses, prob)
     Hpp_red, bp_red, bl, Hll_inv, G2 = _schur_terms(
-        prob.poses, prob.landmarks, prob, damping
+        prob.poses, prob.landmarks, prob, damping, huber
     )
     H = Hpp_o + Hpp_red + damping * jnp.eye(3 * K, dtype=prob.poses.dtype)
     b = bp_o + bp_red
@@ -189,12 +203,14 @@ def gn_step(prob: BAProblem, damping):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def gauss_newton(prob: BAProblem, iters: int = 10, damping: float = 1e-6):
+def gauss_newton(prob: BAProblem, iters: int = 10, damping: float = 1e-6,
+                 huber=None):
     """Run `iters` damped GN steps; returns the optimized problem + final
-    total squared residual (masked)."""
+    total squared residual (masked).  `huber` (whitened sigmas) enables
+    IRLS robust observation factors (see _obs_terms)."""
 
     def body(p, _):
-        poses, lm = gn_step(p, damping)
+        poses, lm = gn_step(p, damping, huber)
         return p._replace(poses=poses, landmarks=lm), ()
 
     prob, _ = lax.scan(body, prob, None, length=iters)

@@ -110,7 +110,8 @@ def _solve2(Hll, r):
     return jnp.stack([y0, y1], axis=-1)
 
 
-def _chunk_terms(poses, lm_c, obs_p_c, obs_z_c, obs_mask_c, W, damping, K):
+def _chunk_terms(poses, lm_c, obs_p_c, obs_z_c, obs_mask_c, W, damping, K,
+                 huber=None):
     """Per-landmark-chunk factor evaluation: residuals, small blocks, and
     the chunk's whitened contributions to the reduced pose system.
 
@@ -145,6 +146,15 @@ def _chunk_terms(poses, lm_c, obs_p_c, obs_z_c, obs_mask_c, W, damping, K):
          for i in range(2)]
     B = [[m * (w[i][0] * Br_[0][k] + w[i][1] * Br_[1][k]) for k in range(2)]
          for i in range(2)]
+    if huber is not None:
+        # IRLS Huber reweighting in whitened units (same kernel as
+        # graph/ba.py:_obs_terms — bounds the influence of wrong
+        # cross-submap matches, the pipeline's outlier channel).
+        rn = jnp.sqrt(jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-20))
+        sw = jnp.sqrt(jnp.minimum(1.0, huber / rn))
+        r = [sw * x for x in r]
+        A = [[sw * a for a in row] for row in A]
+        B = [[sw * b for b in row] for row in B]
 
     def redO(x):                              # (F,) -> per-landmark sum
         return x.reshape(mc, O).sum(1)
@@ -191,7 +201,7 @@ def _chunk_terms(poses, lm_c, obs_p_c, obs_z_c, obs_mask_c, W, damping, K):
     return (Hll, bl, BtA.reshape(mc, O, 2, 3)), (Sc, D, bp, bc)
 
 
-def _grid_pass1(poses, prob: BAGridProblem, damping, chunk):
+def _grid_pass1(poses, prob: BAGridProblem, damping, chunk, huber=None):
     """Chunked scan over the landmark axis: per-landmark stored blocks +
     accumulated reduced-system contributions."""
     M, O = prob.obs_p.shape
@@ -202,7 +212,8 @@ def _grid_pass1(poses, prob: BAGridProblem, damping, chunk):
     def body(acc, xs):
         lm_c, op_c, oz_c, om_c = xs
         stored, inc = _chunk_terms(
-            poses, lm_c, op_c, oz_c, om_c, prob.obs_sqrt_info, damping, K
+            poses, lm_c, op_c, oz_c, om_c, prob.obs_sqrt_info, damping, K,
+            huber,
         )
         # Kahan-compensated accumulation: the reduced-system entries grow to
         # ~(factor count x whitened weight^2) while the gauge mode is held
@@ -251,13 +262,14 @@ def _back_substitute(dp, stored, prob: BAGridProblem):
     return dl * prob.lm_mask[:, None].astype(dl.dtype)
 
 
-def _gn_step_grid(prob: BAGridProblem, damping, chunk, psum_axis=None):
+def _gn_step_grid(prob: BAGridProblem, damping, chunk, psum_axis=None,
+                  huber=None):
     """One damped GN step on the grid problem.  With `psum_axis`, the
     landmark-side accumulators are psum-reduced (sharded variant)."""
     K = prob.poses.shape[0]
     dtype = prob.poses.dtype
     (Sc, D, bp_obs, bc), stored = _grid_pass1(
-        prob.poses, prob, damping, chunk
+        prob.poses, prob, damping, chunk, huber
     )
     if psum_axis is not None:
         Sc, D, bp_obs, bc = lax.psum((Sc, D, bp_obs, bc), psum_axis)
@@ -308,7 +320,7 @@ def _fit_chunk(M: int, chunk: int) -> int:
 @functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def gauss_newton_grid(prob: BAGridProblem, iters: int = 10,
                       damping: float = 1e-6, chunk: int = 4096,
-                      with_cost: bool = True):
+                      with_cost: bool = True, huber=None):
     """Damped GN on the grid layout; returns (problem, final masked cost).
 
     Pad M (masked slots are exact no-ops) so a large chunk divides it —
@@ -318,7 +330,7 @@ def gauss_newton_grid(prob: BAGridProblem, iters: int = 10,
     c = _fit_chunk(prob.landmarks.shape[0], chunk)
 
     def body(p, _):
-        return _gn_step_grid(p, damping, c), ()
+        return _gn_step_grid(p, damping, c, huber=huber), ()
 
     prob, _ = lax.scan(body, prob, None, length=iters)
     return prob, (grid_cost(prob) if with_cost
@@ -361,7 +373,8 @@ def grid_problem_specs(axis: str = AXIS) -> BAGridProblem:
 
 
 def make_sharded_gauss_newton_grid(mesh, iters: int, damping: float = 1e-6,
-                                   chunk: int = 4096, axis: str = AXIS):
+                                   chunk: int = 4096, axis: str = AXIS,
+                                   huber=None):
     """Sharded GN: per shard chunked landmark elimination, one psum for the
     reduced pose system, replicated solve, local back-substitution.
     Pose indices stay global (the one-hot E spans all K poses), so no
@@ -372,7 +385,8 @@ def make_sharded_gauss_newton_grid(mesh, iters: int, damping: float = 1e-6,
         c = _fit_chunk(prob.landmarks.shape[0], chunk)
 
         def body(p, _):
-            return _gn_step_grid(p, damping, c, psum_axis=axis), ()
+            return _gn_step_grid(p, damping, c, psum_axis=axis,
+                                 huber=huber), ()
 
         prob, _ = lax.scan(body, prob, None, length=iters)
         return prob

@@ -44,7 +44,22 @@ def main():
     ap.add_argument("cap", nargs="?", type=int, default=512)
     ap.add_argument("--mode", default="align",
                     choices=("align", "ba", "none"))
-    ap.add_argument("--solver", default="grid", choices=("grid", "host"))
+    ap.add_argument("--solver", default="auto",
+                    choices=("auto", "gpa+grid", "grid", "host", "gpa",
+                             "none"),
+                    help="global backend: auto (measured best: plain "
+                         "match+assemble when the online aligner ran — "
+                         "it already sits at the oracle floor and every "
+                         "optimizer drags it (2k: rmse 0.255 -> 0.48 "
+                         "gpa / 0.49 grid); gpa+grid when dead-reckoned), "
+                         "gpa+grid (Procrustes sweeps + one on-device "
+                         "grid-GN polish), grid (ba_large rounds), host "
+                         "(factor-list BA), gpa (sweeps only), none "
+                         "(match+assemble only)")
+    ap.add_argument("--merge", action="store_true",
+                    help="post-assembly duplicate merge at 0.5x gate "
+                         "(2k measured: dup 112->5 at coverage "
+                         "0.859->0.802 — a trade, not a free win)")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=128,
                     help="front-end epochs per compiled chunk")
@@ -54,8 +69,17 @@ def main():
     ap.add_argument("--diag", default="/tmp/submap_scale_diag.npz")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to host CPU (small-scale validation runs)")
+    ap.add_argument("--save-run", default=None,
+                    help="pickle the front-end SubmapRun here (iterate on "
+                         "backends without re-running the chip front end)")
+    ap.add_argument("--load-run", default=None,
+                    help="skip the front end; load a pickled run")
     ap.add_argument("--no-handover", action="store_true")
     ap.add_argument("--close-frac", type=float, default=0.75)
+    # max_obs 32 measured 4x better map RMSE than 48 at 2k density
+    # (0.255 vs 0.97): the far third of a 48-obs panel is 25-30 m
+    # sightings whose bearing-noise footprint mints in-filter duplicates.
+    ap.add_argument("--max-obs", type=int, default=32)
     ap.add_argument("--handover-inflate", type=float, default=4.0)
     args = ap.parse_args()
 
@@ -69,6 +93,8 @@ def main():
     from tpuslam.graph.submaps import (
         SubmapSLAM,
         assemble_global_map,
+        gpa_refine_anchors,
+        match_submap_landmarks,
         optimize_anchor_graph,
         optimize_anchor_graph_grid,
     )
@@ -78,7 +104,7 @@ def main():
 
     scene = SceneConfig(xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
                         n_landmarks=n_lm, legacy_integer_landmarks=False)
-    cfg = SimConfig(scene=scene, capacity=cap, max_obs=48)
+    cfg = SimConfig(scene=scene, capacity=cap, max_obs=args.max_obs)
     # Row spacing ~40 m (vs 30 m sensor range): a ~20 m strip of landmarks
     # is shared between adjacent rows, so cross-row matches correct the
     # anchor chain continuously.  55 m spacing (7 m strip) was measured
@@ -120,19 +146,33 @@ def main():
                   f"n={int(st.ekf.n)}", file=sys.stderr, flush=True)
         return out
 
-    simmod.run_epochs_rng = timed
-    t_front0 = time.time()
-    try:
-        # Budget: course length / (9 ticks * dt * v) epochs, + margin.
-        n_epochs = int(n_side * extent / 0.6) // 1 + 2000
-        n_epochs = min(n_epochs, 120000)
-        run = slam.run(wp, lm, n_epochs, jax.random.key(0))
-    finally:
-        simmod.run_epochs_rng = real_run_epochs
-    t_front = time.time() - t_front0
+    import pickle
+
+    if args.load_run:
+        with open(args.load_run, "rb") as f:
+            saved = pickle.load(f)
+        run, t_hist, t_front = saved["run"], saved["t_hist"], saved["t_s"]
+        slam.trace = saved["trace"]
+    else:
+        simmod.run_epochs_rng = timed
+        t_front0 = time.time()
+        try:
+            # Budget: course length / (9 ticks * dt * v) epochs, + margin.
+            n_epochs = int(n_side * extent / 0.6) // 1 + 2000
+            n_epochs = min(n_epochs, 120000)
+            run = slam.run(wp, lm, n_epochs, jax.random.key(0))
+        finally:
+            simmod.run_epochs_rng = real_run_epochs
+        t_front = time.time() - t_front0
+        if args.save_run:
+            with open(args.save_run, "wb") as f:
+                pickle.dump({"run": run, "t_hist": t_hist,
+                             "t_s": t_front, "trace": slam.trace}, f)
 
     a = run.active
     ate = float(ate_rmse(run.slam_pose[a], run.true_pose[a]))
+    ate_al = float(ate_rmse(run.slam_pose[a], run.true_pose[a],
+                            align_gauge=True))
     sizes = [len(s.lm_local) for s in run.submaps]
     # Drop the first chunk (compile) from the flatness check.
     th = np.asarray(t_hist[1:])
@@ -144,6 +184,7 @@ def main():
         "n_submaps": len(run.submaps),
         "total_local_landmarks": int(sum(sizes)),
         "online_ate_m": round(ate, 3),
+        "online_ate_aligned_m": round(ate_al, 3),
         "median_err_by_third_m": [round(t, 2) for t in thirds],
         "t_frontend_s": round(t_front, 1),
         "ms_per_epoch_first_decile": round(
@@ -165,34 +206,55 @@ def main():
         }), flush=True)
 
     t0 = time.time()
-    init = [sm.anchor0 for sm in run.submaps]
-    if args.solver == "grid":
-        prob, gids, anchors = optimize_anchor_graph_grid(
-            run.submaps, rounds=args.rounds, iters=12,
-            match_radius=radius, init_anchors=init,
-            register_radius=15.0, chunk=args.ba_chunk,
-            log=lambda m: print(f"# {m}", file=sys.stderr, flush=True),
+    if args.solver == "auto":
+        args.solver = "none" if args.mode == "align" else "gpa+grid"
+    init = np.asarray([sm.anchor0 for sm in run.submaps])
+    log = (lambda m: print(f"# {m}", file=sys.stderr, flush=True))
+    anchors = init
+    if args.solver in ("gpa+grid", "gpa"):
+        anchors, gids, table = gpa_refine_anchors(
+            run.submaps, anchors, match_radius=radius,
+            register_radius=15.0,
+            rematch_rounds=2 if args.solver == "gpa+grid" else 3,
         )
-    else:
+        log(f"gpa done ({time.time() - t0:.1f}s)")
+    if args.solver in ("gpa+grid", "grid"):
+        prob, gids, anchors = optimize_anchor_graph_grid(
+            run.submaps,
+            rounds=1 if args.solver == "gpa+grid" else args.rounds,
+            iters=12, match_radius=radius, init_anchors=anchors,
+            register_radius=15.0, chunk=args.ba_chunk, log=log,
+        )
+    elif args.solver == "host":
         prob, gids, anchors = optimize_anchor_graph(
             run.submaps, rounds=args.rounds, iters=15, match_radius=radius,
-            init_anchors=init, register_radius=15.0,
+            init_anchors=anchors, register_radius=15.0,
         )
+    # Final consistent matching at the solved anchors (cheap, and keeps
+    # the assembled map in lockstep with the anchors for every solver).
+    gids, table, anchors = match_submap_landmarks(
+        run.submaps, anchors, radius, register_radius=15.0)
     t_ba = time.time() - t0
-    gm = assemble_global_map(run.submaps, anchors, gids,
-                             int(prob.lm_mask.sum()))
-    mq = map_quality(gm, lm)
+    gm = assemble_global_map(run.submaps, anchors, gids, len(table))
+    if args.merge:
+        from tpuslam.graph.submaps import merge_duplicates
+
+        gm, _ = merge_duplicates(gm, radius=0.5 * radius)
+    mq = map_quality(gm, lm)                     # absolute frame
+    mqa = map_quality(gm, lm, align_gauge=True)  # gauge-aligned (standard)
     print(json.dumps({
         "stage": "ba", "solver": args.solver,
         "global_landmarks": int(len(gm)),
         "t_backend_s": round(t_ba, 1),
         "t_total_s": round(t_front + t_ba, 1),
-        "n_anchors": int(prob.poses.shape[0]),
-        "matched_rmse_m": round(float(mq["matched_rmse"]), 3),
-        "coverage": round(float(mq["coverage"]), 3),
-        "n_duplicates": int(mq["n_duplicates"]),
-        "n_spurious": int(mq["n_spurious"]),
-        "n_matched_true": int(mq["n_matched_true"]),
+        "n_anchors": int(len(anchors)),
+        "matched_rmse_m": round(float(mqa["matched_rmse"]), 3),
+        "coverage": round(float(mqa["coverage"]), 3),
+        "n_duplicates": int(mqa["n_duplicates"]),
+        "n_spurious": int(mqa["n_spurious"]),
+        "n_matched_true": int(mqa["n_matched_true"]),
+        "abs_coverage": round(float(mq["coverage"]), 3),
+        "abs_matched_rmse_m": round(float(mq["matched_rmse"]), 3),
     }), flush=True)
 
     np.savez(args.diag,

@@ -407,3 +407,87 @@ def test_submap_align_mode_dense_field():
     assert mq["matched_rmse"] < 2.0
     assert mq["coverage"] > 0.85
     assert len(gm) <= 1.25 * mq["n_matched_true"]
+
+
+def test_gauge_align_se2_recovers_global_rotation():
+    """The at-scale scoring mode: a map rotated 0.6 deg about the origin
+    (the measured failure shape — internally perfect, absolutely 'bent')
+    must score near-perfectly after gauge alignment."""
+    from tpuslam.bench.metrics import gauge_align_se2
+
+    rng = np.random.default_rng(9)
+    true = rng.uniform(0, 300, (800, 2))
+    th = np.radians(0.6)
+    c, s = np.cos(th), np.sin(th)
+    est = true @ np.array([[c, -s], [s, c]]).T + [0.3, -0.2]
+
+    mq_abs = map_quality(est, true)
+    mq_al = map_quality(est, true, align_gauge=True)
+    assert mq_abs["coverage"] < 0.9       # absolute scoring punishes gauge
+    assert mq_al["coverage"] > 0.999
+    assert mq_al["matched_rmse"] < 1e-6
+
+    aligned, th_c, t_c = gauge_align_se2(est, true)
+    assert th_c == pytest.approx(-th, abs=1e-9)
+
+
+def test_ate_rmse_align_gauge():
+    rng = np.random.default_rng(2)
+    true = np.concatenate(
+        [rng.uniform(0, 100, (50, 2)), np.zeros((50, 1))], axis=1)
+    th = 0.01
+    c, s = np.cos(th), np.sin(th)
+    slam = true.copy()
+    slam[:, :2] = true[:, :2] @ np.array([[c, -s], [s, c]]).T + [1.0, 0.5]
+    assert ate_rmse(slam, true) > 0.5
+    assert ate_rmse(slam, true, align_gauge=True) < 1e-9
+
+
+def test_gpa_refine_anchors_recovers_perturbed_chain():
+    """Generalized-Procrustes sweeps: submaps of a common field with
+    per-anchor SE(2) perturbations (beyond what one rigid gauge can
+    absorb) must be pulled back into cloud agreement."""
+    from tpuslam.graph.submaps import ClosedSubmap, gpa_refine_anchors
+
+    rng = np.random.default_rng(4)
+    field = rng.uniform(0, 120, (400, 2))
+
+    def local(anchor, pts):
+        c, s = np.cos(anchor[2]), np.sin(anchor[2])
+        return (pts - anchor[:2]) @ np.array([[c, -s], [s, c]])
+
+    anchors_true, sms = [], []
+    for i in range(6):
+        a = np.array([20.0 * i, 60.0 + 5 * (i % 2), 0.3 * (i % 3 - 1)])
+        vis = field[np.linalg.norm(field - a[:2], axis=1) < 35.0]
+        sms.append(ClosedSubmap(
+            anchor0=a.copy(),
+            lm_local=local(a, vis) + rng.normal(0, 0.02, (len(vis), 2)),
+            lm_cov=np.tile(0.02 * np.eye(2), (len(vis), 1, 1)),
+            rel_pose=np.zeros(3), rel_cov=0.01 * np.eye(3)))
+        anchors_true.append(a)
+    anchors_true = np.asarray(anchors_true)
+
+    pert = anchors_true + rng.normal(0, 1.0, (6, 3)) * [0.5, 0.5, 0.01]
+    pert[0] = anchors_true[0]              # gauge held at submap 0
+
+    seen = field[(np.linalg.norm(
+        field[None] - anchors_true[:, None, :2], axis=-1) < 35.0).any(0)]
+    ref, gids, table = gpa_refine_anchors(
+        sms, pert, match_radius=2.0, sweeps=20, rematch_rounds=2)
+    gm = assemble_global_map(sms, ref, gids, len(table))
+    mq = map_quality(gm, seen, align_gauge=True)
+    mq0 = map_quality(
+        assemble_global_map(
+            sms, pert,
+            *_match_for(sms, pert)), seen, align_gauge=True)
+    assert mq["matched_rmse"] < 0.1
+    assert mq["matched_rmse"] < 0.5 * mq0["matched_rmse"]
+    assert mq["coverage"] > 0.95
+
+
+def _match_for(sms, anchors):
+    from tpuslam.graph.submaps import match_submap_landmarks
+
+    gids, table, _ = match_submap_landmarks(sms, anchors, 2.0)
+    return gids, len(table)

@@ -10,15 +10,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def ate_rmse(slam_track, true_track) -> float:
+def ate_rmse(slam_track, true_track, align_gauge: bool = False) -> float:
     """Absolute trajectory error (RMSE over xy positions).
 
-    Both tracks (T, 3) poses aligned in time; no Umeyama alignment — the
-    reference filter is anchored at the true initial pose
-    (sim/ekfslam-sim.jl:42), so frames coincide by construction.
+    Both tracks (T, 3) poses aligned in time.  Default is the raw frame
+    — the reference filter is anchored at the true initial pose
+    (sim/ekfslam-sim.jl:42), so frames coincide by construction and the
+    course1 numbers stay comparable.  `align_gauge` first removes one
+    global SE(2) (the standard Umeyama-style ATE alignment) — use it for
+    at-scale runs where the unobservable gauge heading dominates the raw
+    error (see gauge_align_se2).
     """
-    slam = np.asarray(slam_track)[:, :2]
-    true = np.asarray(true_track)[:, :2]
+    slam = np.asarray(slam_track, np.float64)[:, :2]
+    true = np.asarray(true_track, np.float64)[:, :2]
+    if align_gauge and len(slam) >= 3:
+        from tpuslam.graph.submaps import fit_se2
+
+        th, t = fit_se2(slam, true)     # time-corresponded: no NN needed
+        c, s = np.cos(th), np.sin(th)
+        slam = slam @ np.array([[c, -s], [s, c]]).T + t
     err = np.linalg.norm(slam - true, axis=1)
     return float(np.sqrt(np.mean(err**2)))
 
@@ -36,8 +46,53 @@ def pose_nees(slam_pose, true_pose, P_pose) -> np.ndarray:
     return out
 
 
-def map_quality(est_landmarks, true_landmarks, match_radius: float = 2.0):
+def gauge_align_se2(est_points, true_points, radius: float = 2.0,
+                    iters: int = 3):
+    """One GLOBAL SE(2) aligning an estimated point set onto truth.
+
+    SLAM's gauge freedom: only pose 0 is pinned (the prior), so the
+    map's absolute orientation rests on the integrated heading — an
+    early 0.5 deg heading error displaces a point 250 m away by 2.2 m
+    with the map internally perfect (measured: a 0.57 deg global
+    rotation was the whole difference between coverage 0.47 and 0.86 on
+    a 2k-landmark field).  Standard trajectory/map evaluation therefore
+    aligns with one rigid transform before scoring (the SE(2) analog of
+    Umeyama ATE alignment); this is that alignment: `iters` rounds of
+    native radius-NN matching + closed-form Kabsch.
+
+    Returns (aligned_points, theta, t) — the correction applied.
+    """
+    from tpuslam.graph.submaps import fit_se2
+    from tpuslam.native import SpatialIndex
+
+    est = np.asarray(est_points, np.float64).reshape(-1, 2)
+    true = np.asarray(true_points, np.float64).reshape(-1, 2)
+    if len(est) < 3 or len(true) < 3:
+        return est, 0.0, np.zeros(2)
+    idx = SpatialIndex(true, cell_size=max(radius, 1.0))
+    cur = est.copy()
+    Rc, tc = np.eye(2), np.zeros(2)
+    for _ in range(max(iters, 1)):
+        m = idx.match(cur, radius)
+        ok = m >= 0
+        if ok.sum() < 3:
+            break
+        th, t = fit_se2(cur[ok], true[m[ok]])
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s], [s, c]])
+        cur = cur @ R.T + t
+        Rc, tc = R @ Rc, R @ tc + t
+    return cur, float(np.arctan2(Rc[1, 0], Rc[0, 0])), tc
+
+
+def map_quality(est_landmarks, true_landmarks, match_radius: float = 2.0,
+                align_gauge: bool = False):
     """Map-quality metrics: duplicate-landmark rate and matched-landmark RMSE.
+
+    With `align_gauge`, estimates are first aligned to truth by one
+    global SE(2) (gauge_align_se2) — the at-scale scoring mode; absolute
+    scoring (the default, used by the course1 bench gate where the field
+    is small) additionally punishes the unobservable global gauge.
 
     The reference's gated-NN association (src/data-association.jl:42-48) can
     mint a duplicate feature when a re-observation's NIS clears gate2, so
@@ -57,6 +112,8 @@ def map_quality(est_landmarks, true_landmarks, match_radius: float = 2.0):
     """
     est = np.asarray(est_landmarks, np.float64).reshape(-1, 2)
     true = np.asarray(true_landmarks, np.float64).reshape(-1, 2)
+    if align_gauge:
+        est, _, _ = gauge_align_se2(est, true, radius=match_radius)
     n_est, n_true = len(est), len(true)
     if n_est == 0 or n_true == 0:
         return {

@@ -475,6 +475,117 @@ def align_submap_to_table(g, table, radius: float,
     return float(np.arctan2(Rc[1, 0], Rc[0, 0])), tc, n_in
 
 
+def gpa_refine_anchors(submaps, anchors, *, match_radius: float = 2.0,
+                       sweeps: int = 12, rematch_rounds: int = 2,
+                       register_radius: float | None = None,
+                       trim: float = 3.0, min_matches: int = 6,
+                       step: float = 0.7, tol: float = 1e-3):
+    """Generalized-Procrustes refinement of the anchor chain ("global
+    alignment sweeps") — the cloud-agreement optimizer the factor graph
+    is not.
+
+    The graph BA's least-squares optimum trades within-submap nonrigid
+    distortion (EKF drift over a submap's span, ~0.5 m) against
+    loop-closure consistency, both weighted at local sensor noise
+    (~5 cm); on dense fields this converges to a GLOBALLY BENT map
+    (measured: matched RMSE ~1.3 m where rigid per-submap alignment
+    supports ~0.35 m).  This routine instead optimizes what the final
+    map is scored on — agreement of the rigidly-placed submap clouds:
+
+        min_{T_1..T_S}  sum_i sum_k  || T_i x_ik  -  m_{g(ik)} ||^2
+
+    with m the consensus (mean) position of each global landmark id.
+    Block-coordinate descent: each sweep recomputes the leave-one-out
+    consensus and fits one closed-form SE(2) (Kabsch) per submap, all
+    submaps vectorized via bincount — O(total landmarks) per sweep, no
+    Python per-submap loop, scales to 1M points.  Matches are re-derived
+    `rematch_rounds` times as alignment improves; residuals beyond
+    `trim` robust sigmas are dropped per sweep (wrong-merge outliers).
+
+    Gauge: submap 0's pose is held fixed (every sweep's updates are
+    composed with the inverse of submap 0's update).
+
+    Returns (anchors, gids, table): refined anchors, per-submap global
+    id arrays, and the final (M, 2) first-seen position table — the same
+    contract as match_submap_landmarks, ready for assemble_global_map or
+    a grid-BA polish.
+    """
+    anchors = np.asarray(anchors, np.float64).reshape(-1, 3).copy()
+    S = len(submaps)
+    loc = [np.asarray(sm.lm_local, np.float64).reshape(-1, 2)
+           for sm in submaps]
+    sizes = np.array([len(p) for p in loc], np.int64)
+    sub_of = np.repeat(np.arange(S), sizes)
+    L = (np.concatenate([p for p in loc if len(p)])
+         if sizes.sum() else np.zeros((0, 2)))
+    gids = table = None
+
+    for _ in range(max(rematch_rounds, 1)):
+        gids, table, anchors = match_submap_landmarks(
+            submaps, anchors, match_radius,
+            register_radius=register_radius,
+        )
+        fg = (np.concatenate([np.asarray(g, np.int64) for g in gids])
+              if len(L) else np.zeros(0, np.int64))
+        M = len(table)
+        for _ in range(max(sweeps, 1)):
+            ca, sa = np.cos(anchors[:, 2]), np.sin(anchors[:, 2])
+            cp, sp = ca[sub_of], sa[sub_of]
+            G = np.stack([cp * L[:, 0] - sp * L[:, 1],
+                          sp * L[:, 0] + cp * L[:, 1]], axis=1)
+            G += anchors[sub_of, :2]
+            cnt = np.bincount(fg, minlength=M).astype(np.float64)
+            sx = np.bincount(fg, G[:, 0], minlength=M)
+            sy = np.bincount(fg, G[:, 1], minlength=M)
+            c = cnt[fg]
+            shared = c >= 2.0
+            d = np.maximum(c - 1.0, 1.0)
+            T = np.stack([(sx[fg] - G[:, 0]) / d,
+                          (sy[fg] - G[:, 1]) / d], axis=1)
+            r = T - G
+            rn2 = (r * r).sum(1)
+            ok = shared
+            if trim and ok.any():
+                sig = max(1.4826 * np.sqrt(np.median(rn2[ok])), 0.02)
+                ok = ok & (rn2 < (trim * sig) ** 2)
+            w = ok.astype(np.float64)
+            Ws = np.bincount(sub_of, w, minlength=S)
+            good = Ws >= min_matches
+            Wd = np.maximum(Ws, 1.0)
+            msx = np.bincount(sub_of, w * G[:, 0], minlength=S) / Wd
+            msy = np.bincount(sub_of, w * G[:, 1], minlength=S) / Wd
+            mdx = np.bincount(sub_of, w * T[:, 0], minlength=S) / Wd
+            mdy = np.bincount(sub_of, w * T[:, 1], minlength=S) / Wd
+            ux, uy = G[:, 0] - msx[sub_of], G[:, 1] - msy[sub_of]
+            vx, vy = T[:, 0] - mdx[sub_of], T[:, 1] - mdy[sub_of]
+            sin_acc = np.bincount(sub_of, w * (ux * vy - uy * vx),
+                                  minlength=S)
+            cos_acc = np.bincount(sub_of, w * (ux * vx + uy * vy),
+                                  minlength=S)
+            th = np.where(good, np.arctan2(sin_acc, cos_acc), 0.0) * step
+            cc, ss = np.cos(th), np.sin(th)
+            # t = m_dst - R m_src, then damp the translation too.
+            tx = np.where(good, mdx - (cc * msx - ss * msy), 0.0) * step
+            ty = np.where(good, mdy - (ss * msx + cc * msy), 0.0) * step
+            # Gauge: compose every update with inv(update_0).
+            inv_c, inv_s = cc[0], -ss[0]
+            itx = -(inv_c * tx[0] - inv_s * ty[0])
+            ity = -(inv_s * tx[0] + inv_c * ty[0])
+            th = _wrap(th - th[0])
+            tx2 = inv_c * tx - inv_s * ty + itx
+            ty2 = inv_s * tx + inv_c * ty + ity
+            cc, ss = np.cos(th), np.sin(th)
+            ax = cc * anchors[:, 0] - ss * anchors[:, 1] + tx2
+            ay = ss * anchors[:, 0] + cc * anchors[:, 1] + ty2
+            moved = np.max(np.hypot(ax - anchors[:, 0],
+                                    ay - anchors[:, 1]) + np.abs(th))
+            anchors = np.stack(
+                [ax, ay, _wrap(anchors[:, 2] + th)], axis=1)
+            if moved < tol:
+                break
+    return anchors, gids, table
+
+
 # ------------------------------------------------- anchor-graph assembly
 
 def _discriminative_matches(idx_obj, table, g, idx, radius: float,

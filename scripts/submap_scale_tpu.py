@@ -75,6 +75,12 @@ def main():
     ap.add_argument("--load-run", default=None,
                     help="skip the front end; load a pickled run")
     ap.add_argument("--no-handover", action="store_true")
+    ap.add_argument("--no-perimeter", action="store_true",
+                    help="bare lawnmower course (no perimeter-first lap)")
+    ap.add_argument("--register-radius", type=float, default=None,
+                    help="translation-vote search radius; default scales "
+                         "with the drift budget of the longest closed "
+                         "loop (~2%% of the perimeter length)")
     ap.add_argument("--close-frac", type=float, default=0.75)
     # max_obs 32 measured 4x better map RMSE than 48 at 2k density
     # (0.255 vs 0.97): the far third of a 48-obs panel is 25-30 m
@@ -111,7 +117,12 @@ def main():
     # insufficient: drift outran the match gate and the chain went
     # open-loop (online ATE 71 m at 20k landmarks).
     n_side = max(4, int(extent / 40.0) + 1)
-    wp = make_grid_course(extent, n_per_side=n_side, inset=0.05)
+    # Surveyor pattern: perimeter lap first, then rows — every row end
+    # re-enters the early-mapped perimeter strip, so per-closure alignment
+    # gets an ABSOLUTE correction twice per row (a bare lawnmower pass
+    # drifts: see make_grid_course docstring).
+    wp = make_grid_course(extent, n_per_side=n_side, inset=0.05,
+                          perimeter_first=not args.no_perimeter)
     lm = make_landmarks(scene, seed=args.seed)
     dev = jax.devices()[0]
     print(json.dumps({"stage": "env", "platform": dev.platform,
@@ -124,11 +135,17 @@ def main():
     # or cross-submap matching merges NEIGHBORS (wrong loop closures).
     spacing = extent / max(np.sqrt(n_lm), 1.0)
     radius = float(min(3.0, 0.4 * spacing))
+    # Drift budget for the biggest loop the online aligner must close:
+    # ~2% of the perimeter lap (measured heading-drift rate ~0.9%/m of
+    # travel builds ~13-16 m around a 936 m perimeter at 260 m extent).
+    reg_r = (args.register_radius if args.register_radius is not None
+             else float(np.clip(0.02 * 4 * 0.9 * extent, 15.0, 80.0)))
     slam = SubmapSLAM(cfg, close_frac=args.close_frac,
                       chunk_epochs=args.chunk,
                       match_radius=radius, online_mode=args.mode,
                       handover=not args.no_handover,
-                      handover_inflate=args.handover_inflate)
+                      handover_inflate=args.handover_inflate,
+                      register_radius=reg_r)
 
     # Instrumented run: wrap the runner loop to time chunks.
     t_hist = []
@@ -158,7 +175,7 @@ def main():
         t_front0 = time.time()
         try:
             # Budget: course length / (9 ticks * dt * v) epochs, + margin.
-            n_epochs = int(n_side * extent / 0.6) // 1 + 2000
+            n_epochs = int((n_side + 4) * extent / 0.6) // 1 + 2000
             n_epochs = min(n_epochs, 120000)
             run = slam.run(wp, lm, n_epochs, jax.random.key(0))
         finally:
@@ -223,17 +240,17 @@ def main():
             run.submaps,
             rounds=1 if args.solver == "gpa+grid" else args.rounds,
             iters=12, match_radius=radius, init_anchors=anchors,
-            register_radius=15.0, chunk=args.ba_chunk, log=log,
+            register_radius=reg_r, chunk=args.ba_chunk, log=log,
         )
     elif args.solver == "host":
         prob, gids, anchors = optimize_anchor_graph(
             run.submaps, rounds=args.rounds, iters=15, match_radius=radius,
-            init_anchors=anchors, register_radius=15.0,
+            init_anchors=anchors, register_radius=reg_r,
         )
     # Final consistent matching at the solved anchors (cheap, and keeps
     # the assembled map in lockstep with the anchors for every solver).
     gids, table, anchors = match_submap_landmarks(
-        run.submaps, anchors, radius, register_radius=15.0)
+        run.submaps, anchors, radius, register_radius=reg_r)
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids, len(table))
     if args.merge:

@@ -78,6 +78,16 @@ def _wrap(phi):
     return (phi + np.pi) % (2 * np.pi) - np.pi
 
 
+def _se2_apply_to_pose(th, t, pose):
+    """Apply a global-frame rigid correction (th, t) to an SE(2) pose."""
+    c, s = np.cos(th), np.sin(th)
+    return np.concatenate([
+        np.array([c * pose[0] - s * pose[1],
+                  s * pose[0] + c * pose[1]]) + t,
+        [_wrap(pose[2] + th)],
+    ])
+
+
 def fit_se2(src, dst):
     """Least-squares SE(2) alignment: (theta, t) minimizing
     sum |R(theta) src_i + t - dst_i|^2 (2-D Kabsch/Procrustes, closed
@@ -153,6 +163,11 @@ class SubmapSLAM:
         assert online_mode in ("ba", "align", "none")
         self.online_mode = online_mode
         self._table = np.zeros((0, 2))
+        # Which submap inserted each table row (loop-closure probe needs
+        # the temporal split), and the last submap with an absolute fix
+        # (rubber-band distribution anchor).
+        self._table_src = np.zeros(0, np.int64)
+        self._last_fix = 0
         # Online incremental anchor optimization: after each closure,
         # re-match + Gauss-Newton the anchor graph built so far and carry
         # the CORRECTED anchor into the next submap.  Without it the
@@ -262,6 +277,11 @@ class SubmapSLAM:
             if int(st.vehicle.waypoint_id) == -1:
                 break  # course finished — further epochs are no-ops
 
+            if (self.online_mode == "align" and len(self._table)
+                    and int(st.ekf.n) >= 24):
+                anchor = self._midrun_align(st, anchor, len(submaps), done,
+                                            submaps)
+
             if int(st.ekf.n) >= close_at and done < n_epochs:
                 st, anchor = self._close(st, anchor, submaps, dtype)
                 if self.online_mode == "align":
@@ -304,27 +324,37 @@ class SubmapSLAM:
         )
 
     def _align_closure(self, submaps, anchor, done):
-        """'align' online mode: register the just-closed submap against
-        the incremental global table, correct ITS anchor (and the chain
-        head), then insert its unmatched landmarks.  Constant cost per
-        closure; see align_submap_to_table."""
+        """'align' online mode, two stages per closure:
+
+        1. LOCAL alignment of the just-closed submap against the full
+           table by plain NN matching (no translation voting here — the
+           vote is dominated by the submap's own recent trail, which
+           shares its drift, so it can never see a loop-closure offset:
+           measured on a 2k perimeter course, votes at every closure
+           returned ~0 while the revisited start region sat 13 m away).
+        2. LOOP-CLOSURE probe against the temporally-OLD table segment
+           only (entries inserted >= `gap` submaps ago): translation
+           voting + rigid refinement (align_submap_to_table).  On a
+           decisive hit the correction is applied to the chain head and
+           RUBBER-BANDED back over the drifted segment (anchors and
+           table entries of submaps since the last absolute fix get a
+           linearly-scaled share, Lu-Milios style), so the table never
+           keeps a meters-offset ghost copy of the revisited region.
+
+        Constant cost per closure (the probe is cropped to the submap's
+        bounding box).  Returns the corrected chain head."""
         from tpuslam.native import SpatialIndex
 
         sm = submaps[-1]
+        i = len(submaps) - 1
         g = se2_transform_points(sm.anchor0, sm.lm_local)
         if len(self._table):
             res = align_submap_to_table(
-                g, self._table, self.match_radius,
-                register_radius=self.register_radius,
+                g, self._table, self.match_radius, register_radius=None,
             )
             if res is not None:
                 th, t, n_in = res
-                c, s = np.cos(th), np.sin(th)
-                R = np.array([[c, -s], [s, c]])
-                a0 = np.concatenate([
-                    R @ sm.anchor0[:2] + t,
-                    [_wrap(sm.anchor0[2] + th)],
-                ])
+                a0 = _se2_apply_to_pose(th, t, sm.anchor0)
                 cand = se2_compose(a0, sm.rel_pose)
                 ok = self.accept_correction(cand, anchor)
                 self.trace.append({
@@ -338,16 +368,192 @@ class SubmapSLAM:
                     submaps[-1] = sm = sm._replace(anchor0=a0)
                     g = se2_transform_points(a0, sm.lm_local)
                     anchor = cand
+            if self.register_radius:
+                lc = self._loop_closure_probe(g, i)
+                if lc is not None:
+                    th, t, n_in = lc
+                    cand = _se2_apply_to_pose(th, t, anchor)
+                    ok = self.accept_correction(cand, anchor)
+                    self.trace.append({
+                        "closure": len(submaps), "n_epochs": done,
+                        "corr_m": float(np.linalg.norm(
+                            cand[:2] - anchor[:2])),
+                        "corr_rad": float(_wrap(cand[2] - anchor[2])),
+                        "n_inliers": int(n_in), "loop": True,
+                        "accepted": bool(ok),
+                    })
+                    if ok:
+                        self._rubber_band(submaps, th, t, i)
+                        if (np.hypot(*t) > 0.5 * self.match_radius
+                                and len(submaps) >= 3):
+                            # Significant loop closure: polish the whole
+                            # chain with the odometry-aware GN (the
+                            # linear rubber band is only a prior) and
+                            # rebuild the table ghost-free — BEFORE
+                            # later submaps conform to a bent ring.
+                            self._refine_chain(submaps)
+                        sm = submaps[-1]
+                        g = se2_transform_points(sm.anchor0, sm.lm_local)
+                        anchor = se2_compose(sm.anchor0, sm.rel_pose)
+                        self._last_fix = i
         if len(g):
             if len(self._table):
                 idx = SpatialIndex(self._table,
                                    cell_size=max(self.match_radius, 1.0))
                 new = idx.match(np.asarray(g, np.float64),
                                 self.match_radius) < 0
-                self._table = np.concatenate([self._table, g[new]])
             else:
-                self._table = np.asarray(g, np.float64).copy()
+                new = np.ones(len(g), bool)
+            self._table = np.concatenate(
+                [self._table, np.asarray(g, np.float64)[new]])
+            self._table_src = np.concatenate(
+                [self._table_src, np.full(int(new.sum()), i, np.int64)])
         return anchor
+
+    def _midrun_align(self, st, anchor, i, done, submaps):
+        """Continuous scan-to-map registration of the OPEN submap: after
+        every chunk, rigidly conform the partial local map to the global
+        table (NN alignment) and probe the temporally-old segment for a
+        loop closure (translation vote).  Correcting `anchor` mid-submap
+        is exact — the local filter runs in its own frame and the whole
+        open submap re-places rigidly.
+
+        This is what keeps cross-submap seams under the match gate at
+        scale: closure-time-only alignment leaves each ~130 m submap to
+        drift internally before conforming (measured 1-3 m rubber-band
+        residual seams -> duplicate/spurious-ridden maps); per-chunk
+        (~77 m) conformance keeps relative drift near zero, the standard
+        submap-SLAM arrangement (scan-to-map localization against the
+        emerging global map)."""
+        n = int(st.ekf.n)
+        loc = np.asarray(st.ekf.x, np.float64)[3:3 + 2 * n].reshape(-1, 2)
+        g = se2_transform_points(anchor, loc)
+        res = align_submap_to_table(
+            g, self._table, self.match_radius, register_radius=None,
+        )
+        if res is not None:
+            th, t, n_in = res
+            cand = _se2_apply_to_pose(th, t, anchor)
+            if self.accept_correction(cand, anchor):
+                anchor = cand
+                g = se2_transform_points(anchor, loc)
+        if self.register_radius:
+            lc = self._loop_closure_probe(g, i)
+            if lc is not None:
+                th, t, n_in = lc
+                cand = _se2_apply_to_pose(th, t, anchor)
+                ok = self.accept_correction(cand, anchor)
+                self.trace.append({
+                    "closure": i, "n_epochs": done,
+                    "corr_m": float(np.linalg.norm(cand[:2] - anchor[:2])),
+                    "corr_rad": float(_wrap(cand[2] - anchor[2])),
+                    "n_inliers": int(n_in), "loop": True, "midrun": True,
+                    "accepted": bool(ok),
+                })
+                if ok:
+                    if submaps:
+                        # Distribute over the CLOSED chain; the open
+                        # submap (index i) takes the full correction via
+                        # `anchor`, closed submap j the fraction
+                        # (j - last_fix)/(i - last_fix).
+                        self._rubber_band(submaps, th, t, i)
+                    anchor = cand
+                    self._last_fix = i
+        return anchor
+
+    def _refine_chain(self, submaps):
+        """Gauss-Newton polish of the whole closed chain right after a
+        loop closure (host factor-list path; the chain is short online),
+        then rebuild the table from the refined anchors."""
+        init = np.asarray([sm.anchor0 for sm in submaps])
+        try:
+            _, _, opt = optimize_anchor_graph(
+                submaps, rounds=1, iters=12,
+                match_radius=self.match_radius, init_anchors=init,
+            )
+        except Exception:
+            return False
+        opt = np.asarray(opt)
+        if not np.isfinite(opt).all():
+            return False
+        for j, sm in enumerate(submaps):
+            submaps[j] = sm._replace(anchor0=opt[j])
+        self._rebuild_table(submaps)
+        return True
+
+    def _rebuild_table(self, submaps):
+        """Re-derive the online table (+ per-row source submap) from the
+        current anchors — first-seen dedup, same as incremental growth."""
+        gids, table, _ = match_submap_landmarks(
+            submaps, np.asarray([sm.anchor0 for sm in submaps]),
+            self.match_radius,
+        )
+        src = np.zeros(len(table), np.int64)
+        seen = 0
+        for j, g in enumerate(gids):
+            g = np.asarray(g, np.int64)
+            if len(g):
+                new_ids = g[g >= seen]
+                src[new_ids] = j
+                seen = max(seen, int(g.max()) + 1)
+        self._table, self._table_src = np.asarray(table), src
+
+    def _loop_closure_probe(self, g, i, gap: int = 3):
+        """Registration of the just-closed submap against table entries
+        inserted >= `gap` submaps ago, cropped to the submap's bbox —
+        the temporal split that makes a loop-closure offset visible to
+        translation voting (stage 2 of _align_closure)."""
+        old = self._table_src <= i - gap
+        if old.sum() < 12 or not len(g):
+            return None
+        lo = g.min(0) - self.register_radius
+        hi = g.max(0) + self.register_radius
+        sel = (old & (self._table[:, 0] >= lo[0])
+               & (self._table[:, 0] <= hi[0])
+               & (self._table[:, 1] >= lo[1])
+               & (self._table[:, 1] <= hi[1]))
+        if sel.sum() < 12:
+            return None
+        return align_submap_to_table(
+            g, self._table[sel], self.match_radius,
+            register_radius=self.register_radius,
+        )
+
+    def _rubber_band(self, submaps, th, t, i):
+        """Distribute a loop-closure correction (th, t — full SE(2) for
+        the submap at index `i`) linearly over submaps (last_fix, i] and
+        their table entries, pivoted at the last absolutely-fixed
+        anchor: entry j gets the fraction (j - last_fix)/(i - last_fix)
+        of the rotation and translation.  `i` may be the still-open
+        submap (== len(submaps)); the loop then covers only the closed
+        ones at partial fractions and the caller applies the full
+        correction to the open chain head.  Keeps the online table
+        ghost-free after a closure instead of leaving the drifted
+        segment meters off."""
+        j0 = min(self._last_fix, i - 1, len(submaps) - 1)
+        pivot = submaps[j0].anchor0[:2].astype(np.float64)
+        c, s = np.cos(th), np.sin(th)
+        t_piv = (np.array([c * pivot[0] - s * pivot[1],
+                           s * pivot[0] + c * pivot[1]]) + t - pivot)
+        denom = max(i - j0, 1)
+        for j in range(j0 + 1, min(i, len(submaps) - 1) + 1):
+            f = (j - j0) / denom
+            fth = f * th
+            cf, sf = np.cos(fth), np.sin(fth)
+            a = submaps[j].anchor0
+            rel = a[:2] - pivot
+            submaps[j] = submaps[j]._replace(anchor0=np.concatenate([
+                np.array([cf * rel[0] - sf * rel[1],
+                          sf * rel[0] + cf * rel[1]]) + pivot + f * t_piv,
+                [_wrap(a[2] + fth)],
+            ]))
+            rows = self._table_src == j
+            if rows.any():
+                p = self._table[rows] - pivot
+                self._table[rows] = np.stack(
+                    [cf * p[:, 0] - sf * p[:, 1],
+                     sf * p[:, 0] + cf * p[:, 1]], axis=1,
+                ) + pivot + f * t_piv
 
     def accept_correction(self, cand, anchor) -> bool:
         """Sanity gate on one online-BA anchor correction.
@@ -584,6 +790,61 @@ def gpa_refine_anchors(submaps, anchors, *, match_radius: float = 2.0,
             if moved < tol:
                 break
     return anchors, gids, table
+
+
+def align_refine_anchors(submaps, anchors, *, match_radius: float = 2.0,
+                         register_radius: float | None = None,
+                         sweeps: int = 4, min_matches: int = 12,
+                         tol: float = 1e-2):
+    """ICP-style block-coordinate refinement of the anchor chain: each
+    sweep re-registers every submap against the union of all OTHERS
+    (leave-self-out), with translation-vote bootstrap so seams larger
+    than the match gate (the 1-3 m rubber-band residuals between online
+    loop-closure fixes) are still captured.  Submap 0 holds the gauge.
+
+    This is the robust joint-registration backend for loop-closed
+    chains; unlike the factor-graph GN it needs no correspondences to
+    START (the vote finds them) and unlike consensus-GPA its per-submap
+    target is the other submaps' clouds, not a mean that the submap
+    itself biases.  Cost: O(sweeps x total landmarks) host work + one
+    native index per submap per sweep.
+
+    Returns refined anchors (match/assemble afterwards for the map)."""
+    anchors = np.asarray(anchors, np.float64).reshape(-1, 3).copy()
+    S = len(submaps)
+    loc = [np.asarray(sm.lm_local, np.float64).reshape(-1, 2)
+           for sm in submaps]
+    for _ in range(max(sweeps, 1)):
+        G = [se2_transform_points(anchors[i], loc[i]) for i in range(S)]
+        sizes = np.array([len(g) for g in G])
+        allp = (np.concatenate([g for g in G if len(g)])
+                if sizes.sum() else np.zeros((0, 2)))
+        src = np.repeat(np.arange(S), sizes)
+        moved = 0.0
+        for i in range(1, S):
+            g = G[i]
+            if len(g) < min_matches:
+                continue
+            pad = register_radius or match_radius
+            lo, hi = g.min(0) - pad, g.max(0) + pad
+            sel = ((src != i) & (allp[:, 0] >= lo[0])
+                   & (allp[:, 0] <= hi[0]) & (allp[:, 1] >= lo[1])
+                   & (allp[:, 1] <= hi[1]))
+            if sel.sum() < min_matches:
+                continue
+            res = align_submap_to_table(
+                g, allp[sel], match_radius,
+                register_radius=register_radius,
+                min_matches=min_matches,
+            )
+            if res is None:
+                continue
+            th, t, _ = res
+            anchors[i] = _se2_apply_to_pose(th, t, anchors[i])
+            moved = max(moved, float(np.hypot(*t)) + abs(th) * 30.0)
+        if moved < tol:
+            break
+    return anchors
 
 
 # ------------------------------------------------- anchor-graph assembly

@@ -75,8 +75,12 @@ def main():
     ap.add_argument("--load-run", default=None,
                     help="skip the front end; load a pickled run")
     ap.add_argument("--no-handover", action="store_true")
-    ap.add_argument("--no-perimeter", action="store_true",
-                    help="bare lawnmower course (no perimeter-first lap)")
+    ap.add_argument("--course", default="survey",
+                    choices=("survey", "perimeter", "lawnmower"),
+                    help="survey (block-partitioned, bounded unclosed "
+                         "loops — the at-scale default), perimeter (one "
+                         "global perimeter lap + rows), lawnmower (bare "
+                         "rows)")
     ap.add_argument("--register-radius", type=float, default=None,
                     help="translation-vote search radius; default scales "
                          "with the drift budget of the longest closed "
@@ -117,12 +121,13 @@ def main():
     # insufficient: drift outran the match gate and the chain went
     # open-loop (online ATE 71 m at 20k landmarks).
     n_side = max(4, int(extent / 40.0) + 1)
-    # Surveyor pattern: perimeter lap first, then rows — every row end
-    # re-enters the early-mapped perimeter strip, so per-closure alignment
-    # gets an ABSOLUTE correction twice per row (a bare lawnmower pass
-    # drifts: see make_grid_course docstring).
-    wp = make_grid_course(extent, n_per_side=n_side, inset=0.05,
-                          perimeter_first=not args.no_perimeter)
+    if args.course == "survey":
+        from tpuslam.sim.scene import make_survey_course
+
+        wp = make_survey_course(extent, row_spacing=40.0, inset=0.05)
+    else:
+        wp = make_grid_course(extent, n_per_side=n_side, inset=0.05,
+                              perimeter_first=args.course == "perimeter")
     lm = make_landmarks(scene, seed=args.seed)
     dev = jax.devices()[0]
     print(json.dumps({"stage": "env", "platform": dev.platform,
@@ -175,7 +180,9 @@ def main():
         t_front0 = time.time()
         try:
             # Budget: course length / (9 ticks * dt * v) epochs, + margin.
-            n_epochs = int((n_side + 4) * extent / 0.6) // 1 + 2000
+            path_m = float(np.linalg.norm(np.diff(wp, axis=0),
+                                          axis=1).sum())
+            n_epochs = int(path_m / 0.6) + 2000
             n_epochs = min(n_epochs, 120000)
             run = slam.run(wp, lm, n_epochs, jax.random.key(0))
         finally:

@@ -164,10 +164,12 @@ class SubmapSLAM:
         self.online_mode = online_mode
         self._table = np.zeros((0, 2))
         # Which submap inserted each table row (loop-closure probe needs
-        # the temporal split), and the last submap with an absolute fix
-        # (rubber-band distribution anchor).
+        # the temporal split), the last submap with an absolute fix
+        # (rubber-band distribution anchor), and the epoch count at that
+        # fix (drift-budget gate for loop corrections).
         self._table_src = np.zeros(0, np.int64)
         self._last_fix = 0
+        self._last_fix_done = 0
         # Online incremental anchor optimization: after each closure,
         # re-match + Gauss-Newton the anchor graph built so far and carry
         # the CORRECTED anchor into the next submap.  Without it the
@@ -373,7 +375,7 @@ class SubmapSLAM:
                 if lc is not None:
                     th, t, n_in = lc
                     cand = _se2_apply_to_pose(th, t, anchor)
-                    ok = self.accept_correction(cand, anchor)
+                    ok = self.accept_loop(cand, anchor, n_in, len(g), done)
                     self.trace.append({
                         "closure": len(submaps), "n_epochs": done,
                         "corr_m": float(np.linalg.norm(
@@ -396,6 +398,7 @@ class SubmapSLAM:
                         g = se2_transform_points(sm.anchor0, sm.lm_local)
                         anchor = se2_compose(sm.anchor0, sm.rel_pose)
                         self._last_fix = i
+                        self._last_fix_done = done
         if len(g):
             if len(self._table):
                 idx = SpatialIndex(self._table,
@@ -442,7 +445,7 @@ class SubmapSLAM:
             if lc is not None:
                 th, t, n_in = lc
                 cand = _se2_apply_to_pose(th, t, anchor)
-                ok = self.accept_correction(cand, anchor)
+                ok = self.accept_loop(cand, anchor, n_in, len(g), done)
                 self.trace.append({
                     "closure": i, "n_epochs": done,
                     "corr_m": float(np.linalg.norm(cand[:2] - anchor[:2])),
@@ -451,14 +454,32 @@ class SubmapSLAM:
                     "accepted": bool(ok),
                 })
                 if ok:
+                    anchor = cand
                     if submaps:
                         # Distribute over the CLOSED chain; the open
                         # submap (index i) takes the full correction via
                         # `anchor`, closed submap j the fraction
                         # (j - last_fix)/(i - last_fix).
                         self._rubber_band(submaps, th, t, i)
-                    anchor = cand
+                        if (np.hypot(*t) > 0.5 * self.match_radius
+                                and len(submaps) >= 3):
+                            # Same at-closure GN polish as the closure
+                            # branch; the OPEN submap follows the last
+                            # closed anchor's refinement delta.
+                            pre = submaps[-1].anchor0.copy()
+                            if self._refine_chain(submaps):
+                                post = submaps[-1].anchor0
+                                d_th = _wrap(post[2] - pre[2])
+                                cd, sd = np.cos(d_th), np.sin(d_th)
+                                rel = anchor[:2] - pre[:2]
+                                anchor = np.concatenate([
+                                    np.array([cd * rel[0] - sd * rel[1],
+                                              sd * rel[0] + cd * rel[1]])
+                                    + post[:2],
+                                    [_wrap(anchor[2] + d_th)],
+                                ])
                     self._last_fix = i
+                    self._last_fix_done = done
         return anchor
 
     def _refine_chain(self, submaps):
@@ -574,6 +595,26 @@ class SubmapSLAM:
             return False
         gate = (self.register_radius or 0.0) + 4.0 * self.match_radius
         return bool(np.linalg.norm(cand[:2] - anchor[:2]) < gate)
+
+    def accept_loop(self, cand, anchor, n_in, n_pts, done) -> bool:
+        """Acceptance gate for LOOP-CLOSURE corrections, stricter than
+        accept_correction: the correction size is bounded by the drift
+        physically accruable since the last absolute fix (~3% of travel
+        + a few match gates — measured drift rate is ~1%/m), and the
+        registration must explain a solid fraction of the submap's
+        points.  Both bounds exist because one wrong vote is
+        catastrophic: a 17 m mis-registration accepted with 25 inliers
+        threw a 2k survey run's chain 14 m for a tenth of the course."""
+        if not np.isfinite(cand).all():
+            return False
+        # Heading error integrates, so position drift grows SUPERlinearly
+        # with travel: measured ~16 m after 330 m around a block perimeter
+        # (5%), not the ~1%/m local rate — budget accordingly, floored at
+        # a few match gates for the steady re-conformed regime.
+        dist_m = 0.6 * max(done - self._last_fix_done, 0)
+        budget = 0.06 * max(dist_m, 50.0) + 3.0 * self.match_radius
+        corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
+        return corr < budget and n_in >= 12
 
     def _close(self, st, anchor, submaps, dtype):
         """Freeze the active local map; restart the filter at the new

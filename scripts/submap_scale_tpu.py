@@ -90,6 +90,12 @@ def main():
     # (0.255 vs 0.97): the far third of a 48-obs panel is 25-30 m
     # sightings whose bearing-noise footprint mints in-filter duplicates.
     ap.add_argument("--max-obs", type=int, default=32)
+    ap.add_argument("--sensor-range", type=float, default=25.0,
+                    help="detection radius [m]; 25 keeps the visible "
+                         "count under the obs panel AND drops the far "
+                         "sightings whose bearing-noise footprint mints "
+                         "in-filter duplicates (reference default 30)")
+    ap.add_argument("--row-spacing", type=float, default=35.0)
     ap.add_argument("--handover-inflate", type=float, default=4.0)
     args = ap.parse_args()
 
@@ -114,7 +120,12 @@ def main():
 
     scene = SceneConfig(xmin=0.0, xmax=extent, ymin=0.0, ymax=extent,
                         n_landmarks=n_lm, legacy_integer_landmarks=False)
-    cfg = SimConfig(scene=scene, capacity=cap, max_obs=args.max_obs)
+    from tpuslam.config import VehicleConfig
+    import dataclasses as _dc
+
+    veh = _dc.replace(VehicleConfig(), sensor_range=args.sensor_range)
+    cfg = SimConfig(scene=scene, capacity=cap, max_obs=args.max_obs,
+                    vehicle=veh)
     # Row spacing ~40 m (vs 30 m sensor range): a ~20 m strip of landmarks
     # is shared between adjacent rows, so cross-row matches correct the
     # anchor chain continuously.  55 m spacing (7 m strip) was measured
@@ -124,7 +135,8 @@ def main():
     if args.course == "survey":
         from tpuslam.sim.scene import make_survey_course
 
-        wp = make_survey_course(extent, row_spacing=40.0, inset=0.05)
+        wp = make_survey_course(extent, row_spacing=args.row_spacing,
+                                inset=0.05)
     else:
         wp = make_grid_course(extent, n_per_side=n_side, inset=0.05,
                               perimeter_first=args.course == "perimeter")

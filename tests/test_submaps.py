@@ -491,3 +491,37 @@ def _match_for(sms, anchors):
 
     gids, table, _ = match_submap_landmarks(sms, anchors, 2.0)
     return gids, len(table)
+
+
+def test_make_survey_course_blocks():
+    from tpuslam.sim.scene import make_survey_course
+
+    wp = make_survey_course(800.0, row_spacing=40.0, block=280.0,
+                            inset=0.05)
+    # 3x3 blocks, each: 4 perimeter corners + rows; all inside the inset.
+    assert wp.min() >= 0.05 * 800 - 1e-9 and wp.max() <= 0.95 * 800 + 1e-9
+    # Path length far exceeds one lap of the field (block perimeters).
+    path = np.linalg.norm(np.diff(wp, axis=0), axis=1).sum()
+    assert path > 9 * 4 * 200  # > nine block perimeters
+    # Single block degenerates to perimeter + interior rows.
+    wp1 = make_survey_course(260.0, row_spacing=40.0, block=280.0)
+    assert len(wp1) >= 4 + 2 * 3
+
+
+def test_accept_loop_drift_budget():
+    """Loop-closure gate: accepts corrections within the superlinear
+    drift budget since the last absolute fix, rejects the measured alias
+    class (large correction after little travel)."""
+    cfg = course1_config(n_landmarks=35, capacity=64, max_obs=48)
+    slam = SubmapSLAM(cfg, match_radius=2.26, online_mode="align",
+                      register_radius=57.0)
+    a = np.zeros(3)
+    slam._last_fix_done = 0
+    # 16 m after 330 m of travel (epoch 550): the measured REAL closure.
+    assert slam.accept_loop(np.array([16.0, 0, 0]), a, 30, 300, done=550)
+    # 17 m after only 120 m: bigger than any drift physically accruable.
+    assert not slam.accept_loop(np.array([17.0, 0, 0]), a, 30, 300,
+                                done=200)
+    # Thin support is rejected regardless.
+    assert not slam.accept_loop(np.array([1.0, 0, 0]), a, 5, 300,
+                                done=550)

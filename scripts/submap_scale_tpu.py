@@ -97,6 +97,11 @@ def main():
                          "in-filter duplicates (reference default 30)")
     ap.add_argument("--row-spacing", type=float, default=35.0)
     ap.add_argument("--handover-inflate", type=float, default=4.0)
+    ap.add_argument("--max-epochs", type=int, default=120000,
+                    help="epoch-budget ceiling; a survey course at extent "
+                         "E needs ~E^2/(row_spacing*0.6) epochs — raise "
+                         "this for extents past ~1.2 km or the course is "
+                         "truncated mid-field")
     args = ap.parse_args()
 
     import jax
@@ -153,10 +158,18 @@ def main():
     spacing = extent / max(np.sqrt(n_lm), 1.0)
     radius = float(min(3.0, 0.4 * spacing))
     # Drift budget for the biggest loop the online aligner must close:
-    # ~2% of the perimeter lap (measured heading-drift rate ~0.9%/m of
+    # ~2% of the loop lap (measured heading-drift rate ~0.9%/m of
     # travel builds ~13-16 m around a 936 m perimeter at 260 m extent).
+    # On the survey course the loop scale is the BLOCK (<= 280 m by
+    # design), NOT the field extent: the 20k run at extent 800 with an
+    # extent-scaled 57.6 m radius showed why — at 0.03 lm/m^2 a 1 m NN
+    # gate passes ~10% random matches, so a 57 m vote window mints
+    # 30-80-inlier alias peaks (~55 m, all correctly rejected by the
+    # drift gate) that MASK the true peak (argmax), real ~5 m inter-row
+    # drift never gets corrected, and error random-walks (ATE 18.7 m).
+    loop_extent = min(extent, 280.0) if args.course == "survey" else extent
     reg_r = (args.register_radius if args.register_radius is not None
-             else float(np.clip(0.02 * 4 * 0.9 * extent, 15.0, 80.0)))
+             else float(np.clip(0.02 * 4 * 0.9 * loop_extent, 15.0, 80.0)))
     slam = SubmapSLAM(cfg, close_frac=args.close_frac,
                       chunk_epochs=args.chunk,
                       match_radius=radius, online_mode=args.mode,
@@ -195,7 +208,7 @@ def main():
             path_m = float(np.linalg.norm(np.diff(wp, axis=0),
                                           axis=1).sum())
             n_epochs = int(path_m / 0.6) + 2000
-            n_epochs = min(n_epochs, 120000)
+            n_epochs = min(n_epochs, args.max_epochs)
             run = slam.run(wp, lm, n_epochs, jax.random.key(0))
         finally:
             simmod.run_epochs_rng = real_run_epochs

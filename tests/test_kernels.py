@@ -112,3 +112,39 @@ def test_auto_precision_thresholds():
     )
     assert big_matmul_precision(AUTO_HIGH_MIN_DIM) == lax.Precision.HIGH
     assert big_matmul_precision(None) == lax.Precision.HIGHEST
+
+
+def test_rank_k_rect_ref_fp16_chunked_exact(rng):
+    """fp16-stored P takes the XLA path at every size (Mosaic cannot
+    lower f16); at rows >= 4096 that path walks P in row blocks through
+    an aliased fori carry so the f32 delta never materializes at full
+    size (the difference between cap 20480 and cap 32768 fitting in
+    16 GB HBM).  The chunked walk must be BITWISE identical to the
+    unchunked form — same per-row algebra, same rounding point."""
+    from tpuslam.kernels.sym_rank_k import rank_k_update_rect_ref
+
+    rows = cols = 4096  # >= the chunk threshold, divisible by 512
+    k = 8
+    P = jnp.asarray(0.01 * rng.standard_normal((rows, cols)), jnp.float16)
+    Xr = jnp.asarray(0.01 * rng.standard_normal((k, rows)), jnp.float32)
+    Yr = jnp.asarray(0.01 * rng.standard_normal((k, rows)), jnp.float32)
+    Xc = jnp.asarray(0.01 * rng.standard_normal((k, cols)), jnp.float32)
+    Yc = jnp.asarray(0.01 * rng.standard_normal((k, cols)), jnp.float32)
+    got = np.asarray(rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc))
+    acc = (np.asarray(Xr, np.float64).T.astype(np.float32)
+           @ np.asarray(Yc)
+           + np.asarray(Yr).T @ np.asarray(Xc))
+    want = (np.asarray(P, np.float32) + acc).astype(np.float16)
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fp16_storage_never_dispatches_pallas():
+    """Mosaic has no f16 — the dispatcher must route fp16-stored blocks
+    to XLA even above the Pallas size threshold (measured failure:
+    'Unsupported type in mosaic dialect: f16' at cap 24576)."""
+    from tpuslam.kernels.dispatch import use_pallas_for
+
+    assert use_pallas_for(65536, "rank_k", dtype=jnp.float16) is False

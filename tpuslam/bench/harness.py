@@ -245,37 +245,53 @@ def sharded_bigcap_throughput(cap, n_map=None, max_obs=48, n_epochs=4,
     # multi-GB Pmm).  Every slot pre-activated with a 0.1*I marginal on a
     # uniform grid: the worst case, every Pmm row live in the epoch's
     # covariance algebra.  Pmm is generated on-device already sharded.
-    pose = initial_pose(wp)
-    vehicle = VehicleState(
-        pose=pose, gamma=jnp.zeros((), dtype),
-        waypoint_id=jnp.zeros((), jnp.int32),
-        nlaps=jnp.asarray(cfg.nlaps, jnp.int32),
-    )
+    pose = np.asarray(initial_pose(np.asarray(wp)))
     side = int(np.ceil(np.sqrt(cap)))
     gx, gy = np.meshgrid(np.linspace(0, extent, side),
                          np.linspace(0, extent, side))
     fm = np.stack([gx.ravel(), gy.ravel()], -1)[:cap].astype(np.float32)
     pmm_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("map", None))
-    Pmm = jax.jit(
-        lambda: 0.1 * jnp.eye(2 * cap, dtype=map_dtype),
-        out_shardings=pmm_sharding,
-    )()
-    ekf = BlockEKFState(
-        pose=pose,
-        fm=jnp.asarray(fm, dtype),
-        Ppp=jnp.zeros((3, 3), dtype),
-        Ppm=jnp.zeros((3, 2 * cap), dtype),
-        Pmm=Pmm,
-        n=jnp.asarray(cap, jnp.int32),
-    )
-    st0 = ShardedSimState(vehicle=vehicle, ekf=ekf)
+    # The full state is built per timed call (build_state below) so the
+    # only live copy is the one the runner donates.
+    fm_np = fm.astype(np.float32)
+
+    @jax.jit
+    def build_state():
+        # Fresh state (EVERY leaf a new buffer) per timed call so the
+        # runner can DONATE it: without donation XLA must hold the input
+        # Pmm AND the output Pmm (plus the f32 delta on the fp16/XLA
+        # fallback path) — 2-3x the map buffer, the difference between
+        # cap 20480 and cap 32768 fitting in 16 GB HBM.  Donation flags
+        # the whole pytree, so leaves must not share buffers (pose is
+        # used twice) nor be reused across calls (the donated template
+        # would be dead on call 2).  The rebuild is device-side and its
+        # cost cancels in the two-run-size marginal.
+        Pmm = jax.lax.with_sharding_constraint(
+            0.1 * jnp.eye(2 * cap, dtype=map_dtype), pmm_sharding)
+        p = jnp.asarray(pose, dtype)
+        veh = VehicleState(
+            pose=p, gamma=jnp.zeros((), dtype),
+            waypoint_id=jnp.zeros((), jnp.int32),
+            nlaps=jnp.asarray(cfg.nlaps, jnp.int32),
+        )
+        ekf = BlockEKFState(
+            pose=p + 0.0,
+            fm=jnp.asarray(fm_np, dtype),
+            Ppp=jnp.zeros((3, 3), dtype),
+            Ppm=jnp.zeros((3, 2 * cap), dtype),
+            Pmm=Pmm,
+            n=jnp.asarray(cap, jnp.int32),
+        )
+        return ShardedSimState(vehicle=veh, ekf=ekf)
 
     runner = make_sharded_run_rng(cfg, mesh, n_epochs)
     runner3 = make_sharded_run_rng(cfg, mesh, 3 * n_epochs)
+    runner = jax.jit(runner, donate_argnums=(2,))
+    runner3 = jax.jit(runner3, donate_argnums=(2,))
 
     def run(n, seed, _r={n_epochs: runner, 3 * n_epochs: runner3}):
-        out = _r[n](wp, lm, st0, jax.random.key(seed))
+        out = _r[n](wp, lm, build_state(), jax.random.key(seed))
         jax.block_until_ready(out)
         np.asarray(out[0].ekf.pose[0])
 

@@ -50,6 +50,7 @@ answer to scaling that same filter math to unbounded maps.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -170,6 +171,9 @@ class SubmapSLAM:
         self._table_src = np.zeros(0, np.int64)
         self._last_fix = 0
         self._last_fix_done = 0
+        self._last_align = 0
+        self.align_min_epochs = int(
+            os.environ.get("TPUSLAM_ALIGN_MIN_EPOCHS", "0"))
         # Online incremental anchor optimization: after each closure,
         # re-match + Gauss-Newton the anchor graph built so far and carry
         # the CORRECTED anchor into the next submap.  Without it the
@@ -246,9 +250,18 @@ class SubmapSLAM:
                          max(self.chunk_epochs // 16, 1)}, reverse=True)
                  if self.adaptive_chunks else [self.chunk_epochs])
         add_rate = None
+        # TPUSLAM_CHUNK_RESERVE_FRAC lets a chunk budget part of the
+        # reserve above close_at (bigger steady-state chunks, fewer
+        # dispatches) — but it is OFF by default: measured at 2k and in
+        # the dense-field regression test, any planned overshoot pushes
+        # bursts into cap and re-opens the mid-chunk saturation
+        # corruption this adaptive logic exists to prevent (spurious 42
+        # vs <=30 in the guard test at frac 0.5).
+        reserve = float(os.environ.get("TPUSLAM_CHUNK_RESERVE_FRAC", "0")) \
+            * max(cfg.capacity - close_at, 0)
         while done < n_epochs:
             n_now = int(st.ekf.n)
-            head = max(close_at - n_now, 1)
+            head = max(close_at - n_now, 1) + reserve
             n_chunk = tiers[-1]
             if add_rate is not None:
                 for t in tiers:
@@ -258,7 +271,13 @@ class SubmapSLAM:
             n_chunk = min(n_chunk, n_epochs - done)
             key, kc = jax.random.split(key)
             st, recs = run_epochs_rng(cfg, wp, lm, st, n_chunk, kc)
-            added = int(st.ekf.n) - n_now
+            # ONE host fetch for the scalars this iteration reads (each
+            # separate int()/asarray on a device value is a full tunnel
+            # round-trip; at thousands of chunks these dominated the
+            # 20k-run front end ~10:1 over device time).
+            n_new, wp_id = jax.device_get((st.ekf.n, st.vehicle.waypoint_id))
+            n_new, wp_id = int(n_new), int(wp_id)
+            added = n_new - n_now
             rate = added / n_chunk
             add_rate = (rate if add_rate is None
                         else 0.5 * add_rate + 0.5 * rate)
@@ -276,15 +295,23 @@ class SubmapSLAM:
             true_g.append(np.asarray(recs.true_pose).reshape(-1, 3))
             act_g.append(np.asarray(recs.active).reshape(-1))
 
-            if int(st.vehicle.waypoint_id) == -1:
+            if wp_id == -1:
                 break  # course finished — further epochs are no-ops
 
+            # TPUSLAM_ALIGN_MIN_EPOCHS throttles the scan-to-map
+            # conformance cadence (default 0 = after every chunk, the
+            # validated behavior).  In dense fields the adaptive tiers
+            # shrink chunks to ~8 epochs (~5 m of travel), and each
+            # align costs a state-vector fetch over the tunnel — big
+            # scale runs can trade cadence for host time explicitly.
             if (self.online_mode == "align" and len(self._table)
-                    and int(st.ekf.n) >= 24):
+                    and n_new >= 24
+                    and done - self._last_align >= self.align_min_epochs):
+                self._last_align = done
                 anchor = self._midrun_align(st, anchor, len(submaps), done,
                                             submaps)
 
-            if int(st.ekf.n) >= close_at and done < n_epochs:
+            if n_new >= close_at and done < n_epochs:
                 st, anchor = self._close(st, anchor, submaps, dtype)
                 if self.online_mode == "align":
                     anchor = self._align_closure(submaps, anchor, done)

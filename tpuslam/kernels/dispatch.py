@@ -25,10 +25,24 @@ import os
 _PALLAS_MIN_DIM = {"pht_s": float("inf"), "rank_k": 8192}
 
 
-def use_pallas_for(dim: int, kernel: str = "rank_k") -> bool:
+def use_pallas_for(dim: int, kernel: str = "rank_k",
+                   dtype=None) -> bool:
     """True when the Pallas implementation of `kernel` is the measured
     winner at covariance dimension `dim` (and we're on a TPU backend).
-    TPUSLAM_FORCE_PALLAS=1 overrides the thresholds (benchmarks/tests)."""
+    TPUSLAM_FORCE_PALLAS=1 overrides the thresholds (benchmarks/tests).
+
+    `dtype` is the storage dtype of the P operand when the caller uses
+    reduced-precision map storage: Mosaic cannot lower float16 at all
+    ("Unsupported type in mosaic dialect: 'f16'", measured at cap 24576),
+    so fp16-stored blocks always take the XLA path — slower per byte
+    (~38% vs ~70% of the rank-k roofline at dim 16k) but the only
+    compilable one, and the fp16 rows exist to extend the MEMORY
+    envelope, which XLA still honors."""
+    if dtype is not None:
+        import jax.numpy as jnp
+
+        if jnp.dtype(dtype) == jnp.float16:
+            return False
     if not use_pallas():
         return False
     if os.environ.get("TPUSLAM_FORCE_PALLAS") == "1":

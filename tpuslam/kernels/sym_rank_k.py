@@ -124,6 +124,32 @@ def rank_k_update_rect(P, Xr, Yr, Xc, Yc, *, block=(768, 512),
 
 def rank_k_update_rect_ref(P, Xr, Yr, Xc, Yc):
     prec = big_matmul_precision(max(P.shape))
+    if P.dtype == jnp.float16 and P.shape[0] >= 4096:
+        # fp16-stored P takes this XLA path at every size (Mosaic cannot
+        # lower f16), and the unchunked form materializes the full f32
+        # delta — 2x the fp16 map buffer, an OOM at cap >= 24576.  Walk
+        # P in row blocks via an aliased fori carry: peak extra memory is
+        # one (block, cap2) f32 delta instead of (rows, cap2).  Block
+        # must divide rows exactly (an overlapping tail chunk would
+        # re-add rows already updated in the carry).
+        rows = P.shape[0]
+        blk = next((b for b in (4096, 3072, 2048, 1536, 1024, 512, 256)
+                    if rows % b == 0), None)
+        if blk is not None and blk < rows:
+            k = Xr.shape[0]
+
+            def body(i, Pacc):
+                r0 = i * blk
+                xr = jax.lax.dynamic_slice(Xr, (0, r0), (k, blk))
+                yr = jax.lax.dynamic_slice(Yr, (0, r0), (k, blk))
+                pb = jax.lax.dynamic_slice(Pacc, (r0, 0),
+                                           (blk, P.shape[1]))
+                acc = (jnp.matmul(xr.T, Yc, precision=prec)
+                       + jnp.matmul(yr.T, Xc, precision=prec))
+                nb = (pb.astype(acc.dtype) + acc).astype(P.dtype)
+                return jax.lax.dynamic_update_slice(Pacc, nb, (r0, 0))
+
+            return jax.lax.fori_loop(0, rows // blk, body, P)
     acc = (jnp.matmul(Xr.T, Yc, precision=prec)
            + jnp.matmul(Yr.T, Xc, precision=prec))
     return (P.astype(acc.dtype) + acc).astype(P.dtype)

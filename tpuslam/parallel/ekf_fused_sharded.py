@@ -425,7 +425,8 @@ def fused_epoch_apply_shard(st: BlockEKFState, pose_pred, Gt, Qacc,
     # + in-place aliasing, which the (rows_local, cap2) rect shares with
     # the square kernel the threshold was measured on.
     rect = (rank_k_update_rect
-            if use_pallas_for(max(rows_local, cap2), "rank_k")
+            if use_pallas_for(max(rows_local, cap2), "rank_k",
+                              dtype=st.Pmm.dtype)
             else rank_k_update_rect_ref)
 
     if panel_exchange == "allgather":

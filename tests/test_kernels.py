@@ -123,7 +123,14 @@ def test_rank_k_rect_ref_fp16_chunked_exact(rng):
     unchunked form — same per-row algebra, same rounding point."""
     from tpuslam.kernels.sym_rank_k import rank_k_update_rect_ref
 
-    rows = cols = 4096  # >= the chunk threshold, divisible by 512
+    # rows must make the block picker choose blk < rows or the plain
+    # unchunked branch runs and this test verifies nothing (advisor r3):
+    # at 4096 the first divisor tried IS 4096, failing the blk < rows
+    # guard.  6144 -> blk 3072, two chunk iterations.
+    rows = cols = 6144
+    blk = next(b for b in (4096, 3072, 2048, 1536, 1024, 512, 256)
+               if rows % b == 0)
+    assert blk < rows, "picked a size where the chunked branch is dead"
     k = 8
     P = jnp.asarray(0.01 * rng.standard_normal((rows, cols)), jnp.float16)
     Xr = jnp.asarray(0.01 * rng.standard_normal((k, rows)), jnp.float32)

@@ -257,7 +257,7 @@ def sharded_bigcap_throughput(cap, n_map=None, max_obs=48, n_epochs=4,
     fm_np = fm.astype(np.float32)
 
     @jax.jit
-    def build_state():
+    def _build_state(p_veh, p_ekf):
         # Fresh state (EVERY leaf a new buffer) per timed call so the
         # runner can DONATE it: without donation XLA must hold the input
         # Pmm AND the output Pmm (plus the f32 delta on the fp16/XLA
@@ -269,14 +269,13 @@ def sharded_bigcap_throughput(cap, n_map=None, max_obs=48, n_epochs=4,
         # cost cancels in the two-run-size marginal.
         Pmm = jax.lax.with_sharding_constraint(
             0.1 * jnp.eye(2 * cap, dtype=map_dtype), pmm_sharding)
-        p = jnp.asarray(pose, dtype)
         veh = VehicleState(
-            pose=p, gamma=jnp.zeros((), dtype),
+            pose=p_veh, gamma=jnp.zeros((), dtype),
             waypoint_id=jnp.zeros((), jnp.int32),
             nlaps=jnp.asarray(cfg.nlaps, jnp.int32),
         )
         ekf = BlockEKFState(
-            pose=p + 0.0,
+            pose=p_ekf,
             fm=jnp.asarray(fm_np, dtype),
             Ppp=jnp.zeros((3, 3), dtype),
             Ppm=jnp.zeros((3, 2 * cap), dtype),
@@ -285,21 +284,42 @@ def sharded_bigcap_throughput(cap, n_map=None, max_obs=48, n_epochs=4,
         )
         return ShardedSimState(vehicle=veh, ekf=ekf)
 
+    def build_state():
+        # The two pose leaves come from two SEPARATE host->device
+        # transfers made outside the jit: an arithmetic identity
+        # (p + 0.0) inside it could be folded/CSE'd by XLA into one
+        # buffer, silently degrading donation back to a copy
+        # (advisor r3).
+        return _build_state(jnp.asarray(np.asarray(pose), dtype),
+                            jnp.asarray(np.asarray(pose), dtype))
+
     runner = make_sharded_run_rng(cfg, mesh, n_epochs)
     runner3 = make_sharded_run_rng(cfg, mesh, 3 * n_epochs)
     runner = jax.jit(runner, donate_argnums=(2,))
     runner3 = jax.jit(runner3, donate_argnums=(2,))
 
+    donation_warnings: list = []
+
     def run(n, seed, _r={n_epochs: runner, 3 * n_epochs: runner3}):
-        out = _r[n](wp, lm, build_state(), jax.random.key(seed))
-        jax.block_until_ready(out)
-        np.asarray(out[0].ekf.pose[0])
+        # A "donated buffer was not usable" warning means the 2-3x Pmm
+        # memory saving silently regressed — surface it in the result
+        # instead of letting it scroll by (advisor r3).
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = _r[n](wp, lm, build_state(), jax.random.key(seed))
+            jax.block_until_ready(out)
+            np.asarray(out[0].ekf.pose[0])
+        donation_warnings.extend(
+            str(x.message) for x in w if "donat" in str(x.message).lower())
 
     per_epoch = _marginal_time(run, n_epochs, 3 * n_epochs)
     pmm_gb = (2 * cap) ** 2 * jnp.dtype(map_dtype).itemsize / 2 ** 30
     return {"capacity": cap, "n_map": n_map, "pmm_gb": float(pmm_gb),
             "ms_per_epoch": per_epoch * 1e3,
-            "updates_per_s": 1.0 / per_epoch}
+            "updates_per_s": 1.0 / per_epoch,
+            "n_donation_warnings": len(donation_warnings)}
 
 
 def monte_carlo_nees(cfg, waypoints, landmarks, n_runs=20, n_epochs=30,

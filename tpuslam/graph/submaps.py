@@ -221,6 +221,10 @@ class SubmapSLAM:
         from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
 
         cfg, dtype = self.cfg, self.dtype
+        # Reentrancy: a second run() on the same instance must not
+        # inherit the first run's align cadence marker (done restarts at
+        # 0, so a stale _last_align would suppress early midrun aligns).
+        self._last_align = 0
         wp = jnp.asarray(waypoints, dtype)
         lm = jnp.asarray(landmarks, dtype)
         st = init_sim_state(cfg, wp, dtype=dtype)
@@ -259,8 +263,12 @@ class SubmapSLAM:
         # vs <=30 in the guard test at frac 0.5).
         reserve = float(os.environ.get("TPUSLAM_CHUNK_RESERVE_FRAC", "0")) \
             * max(cfg.capacity - close_at, 0)
+        # n_now is carried on HOST between iterations (updated from the
+        # chunk's combined device_get below, refreshed by _close's known
+        # seed count) — the int(st.ekf.n) that used to sit here was one
+        # extra tunnel round-trip per chunk (advisor r3).
+        n_now = int(st.ekf.n)
         while done < n_epochs:
-            n_now = int(st.ekf.n)
             head = max(close_at - n_now, 1) + reserve
             n_chunk = tiers[-1]
             if add_rate is not None:
@@ -278,6 +286,7 @@ class SubmapSLAM:
             n_new, wp_id = jax.device_get((st.ekf.n, st.vehicle.waypoint_id))
             n_new, wp_id = int(n_new), int(wp_id)
             added = n_new - n_now
+            n_now = n_new
             rate = added / n_chunk
             add_rate = (rate if add_rate is None
                         else 0.5 * add_rate + 0.5 * rate)
@@ -309,10 +318,10 @@ class SubmapSLAM:
                     and done - self._last_align >= self.align_min_epochs):
                 self._last_align = done
                 anchor = self._midrun_align(st, anchor, len(submaps), done,
-                                            submaps)
+                                            submaps, n=n_new)
 
             if n_new >= close_at and done < n_epochs:
-                st, anchor = self._close(st, anchor, submaps, dtype)
+                st, anchor, n_now = self._close(st, anchor, submaps, dtype)
                 if self.online_mode == "align":
                     anchor = self._align_closure(submaps, anchor, done)
                 elif self.online_mode == "ba" and len(submaps) >= 2:
@@ -440,7 +449,7 @@ class SubmapSLAM:
                 [self._table_src, np.full(int(new.sum()), i, np.int64)])
         return anchor
 
-    def _midrun_align(self, st, anchor, i, done, submaps):
+    def _midrun_align(self, st, anchor, i, done, submaps, n=None):
         """Continuous scan-to-map registration of the OPEN submap: after
         every chunk, rigidly conform the partial local map to the global
         table (NN alignment) and probe the temporally-old segment for a
@@ -455,7 +464,8 @@ class SubmapSLAM:
         (~77 m) conformance keeps relative drift near zero, the standard
         submap-SLAM arrangement (scan-to-map localization against the
         emerging global map)."""
-        n = int(st.ekf.n)
+        if n is None:
+            n = int(st.ekf.n)
         loc = np.asarray(st.ekf.x, np.float64)[3:3 + 2 * n].reshape(-1, 2)
         g = se2_transform_points(anchor, loc)
         res = align_submap_to_table(
@@ -668,6 +678,7 @@ class SubmapSLAM:
         ))
         new_anchor = se2_compose(anchor, rel)
         ekf = make_ekf_state(np.zeros(3), self.cfg.capacity, dtype)
+        n_seed = 0
 
         if self.handover and n:
             # Seed: landmarks in range of the closure pose, re-expressed in
@@ -692,7 +703,10 @@ class SubmapSLAM:
                     P=jnp.asarray(Ps, dtype),
                     n=jnp.asarray(k, ekf.n.dtype),
                 )
-        return st._replace(ekf=ekf), new_anchor
+                n_seed = k
+        # n_seed lets the caller keep its host-side active-count mirror
+        # without a device round-trip (advisor r3).
+        return st._replace(ekf=ekf), new_anchor, n_seed
 
 
 def align_submap_to_table(g, table, radius: float,

@@ -177,22 +177,10 @@ def main():
                       handover_inflate=args.handover_inflate,
                       register_radius=reg_r)
 
-    # Instrumented run: wrap the runner loop to time chunks.
-    t_hist = []
-
-    import tpuslam.sim.simulator as simmod
-    real_run_epochs = simmod.run_epochs_rng
-
-    def timed(cfgx, wpx, lmx, st, n, k):
-        t0 = time.time()
-        out = jax.block_until_ready(real_run_epochs(cfgx, wpx, lmx, st, n, k))
-        t_hist.append((time.time() - t0) / n * 1e3)
-        if len(t_hist) % 20 == 0:
-            rss = int(open("/proc/self/statm").read().split()[1]) * 4096
-            print(f"# chunk {len(t_hist)} rss {rss/2**30:.1f} GiB "
-                  f"n={int(st.ekf.n)}", file=sys.stderr, flush=True)
-        return out
-
+    # Per-chunk timing now comes from slam.chunk_wall (recorded inside
+    # run() around the single dispatch+fetch per chunk) — the old
+    # blocking monkeypatch timer added one extra sync per chunk, itself
+    # part of the r3 host-overhead wall.
     import pickle
 
     if args.load_run:
@@ -201,18 +189,16 @@ def main():
         run, t_hist, t_front = saved["run"], saved["t_hist"], saved["t_s"]
         slam.trace = saved["trace"]
     else:
-        simmod.run_epochs_rng = timed
+        slam.verbose = True
         t_front0 = time.time()
-        try:
-            # Budget: course length / (9 ticks * dt * v) epochs, + margin.
-            path_m = float(np.linalg.norm(np.diff(wp, axis=0),
-                                          axis=1).sum())
-            n_epochs = int(path_m / 0.6) + 2000
-            n_epochs = min(n_epochs, args.max_epochs)
-            run = slam.run(wp, lm, n_epochs, jax.random.key(0))
-        finally:
-            simmod.run_epochs_rng = real_run_epochs
+        # Budget: course length / (9 ticks * dt * v) epochs, + margin.
+        path_m = float(np.linalg.norm(np.diff(wp, axis=0),
+                                      axis=1).sum())
+        n_epochs = int(path_m / 0.6) + 2000
+        n_epochs = min(n_epochs, args.max_epochs)
+        run = slam.run(wp, lm, n_epochs, jax.random.key(0))
         t_front = time.time() - t_front0
+        t_hist = [w / n * 1e3 for n, w in slam.chunk_wall]
         if args.save_run:
             with open(args.save_run, "wb") as f:
                 pickle.dump({"run": run, "t_hist": t_hist,

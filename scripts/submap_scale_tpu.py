@@ -56,10 +56,14 @@ def main():
                          "grid-GN polish), grid (ba_large rounds), host "
                          "(factor-list BA), gpa (sweeps only), none "
                          "(match+assemble only)")
-    ap.add_argument("--merge", action="store_true",
-                    help="post-assembly duplicate merge at 0.5x gate "
-                         "(2k measured: dup 112->5 at coverage "
-                         "0.859->0.802 — a trade, not a free win)")
+    ap.add_argument("--merge", default="covis",
+                    choices=("covis", "fixed", "none"),
+                    help="post-assembly duplicate handling: covis "
+                         "(default — co-visibility-vetoed evidence merge, "
+                         "600-lm measured dup 49->12 at coverage "
+                         "1.0->0.997 and BETTER rmse), fixed (old 0.5x-"
+                         "gate union-find: dup 112->5 but coverage "
+                         "0.859->0.802 at 2k — a trade), none")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=128,
                     help="front-end epochs per compiled chunk")
@@ -241,15 +245,30 @@ def main():
         }), flush=True)
 
     t0 = time.time()
-    if args.solver == "auto":
-        args.solver = "none" if args.mode == "align" else "gpa+grid"
     init = np.asarray([sm.anchor0 for sm in run.submaps])
     log = (lambda m: print(f"# {m}", file=sys.stderr, flush=True))
     anchors = init
-    if args.solver in ("gpa+grid", "gpa"):
+    # Translation voting in the BACKEND matching is only for chains whose
+    # drift exceeds the match gate (dead-reckoned modes).  On an
+    # online-aligned chain it is pure downside — measured on the 2k chip
+    # run: plain assembly 0.614 m matched RMSE with the 26 m vote window
+    # (alias peaks drag whole submaps) vs 0.237 m with voting off.
+    reg_backend = None if args.mode == "align" else reg_r
+    solver_used = args.solver
+    if args.solver == "auto":
+        from tpuslam.graph.submaps import select_backend
+
+        solver_used, anchors, report = select_backend(
+            run.submaps, init, radius, register_radius=reg_backend,
+            chunk=args.ba_chunk, log=log)
+        print(json.dumps({"stage": "solver_select",
+                          "picked": solver_used,
+                          **{f"{k}_med_res": round(v["med_res"], 4)
+                             for k, v in report.items()}}), flush=True)
+    elif args.solver in ("gpa+grid", "gpa"):
         anchors, gids, table = gpa_refine_anchors(
             run.submaps, anchors, match_radius=radius,
-            register_radius=15.0,
+            register_radius=reg_backend,
             rematch_rounds=2 if args.solver == "gpa+grid" else 3,
         )
         log(f"gpa done ({time.time() - t0:.1f}s)")
@@ -258,27 +277,32 @@ def main():
             run.submaps,
             rounds=1 if args.solver == "gpa+grid" else args.rounds,
             iters=12, match_radius=radius, init_anchors=anchors,
-            register_radius=reg_r, chunk=args.ba_chunk, log=log,
+            register_radius=reg_backend, chunk=args.ba_chunk, log=log,
         )
     elif args.solver == "host":
         prob, gids, anchors = optimize_anchor_graph(
             run.submaps, rounds=args.rounds, iters=15, match_radius=radius,
-            init_anchors=anchors, register_radius=reg_r,
+            init_anchors=anchors, register_radius=reg_backend,
         )
     # Final consistent matching at the solved anchors (cheap, and keeps
     # the assembled map in lockstep with the anchors for every solver).
     gids, table, anchors = match_submap_landmarks(
-        run.submaps, anchors, radius, register_radius=reg_r)
+        run.submaps, anchors, radius, register_radius=reg_backend)
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids, len(table))
-    if args.merge:
+    if args.merge == "covis":
+        from tpuslam.graph.submaps import merge_duplicates_covisibility
+
+        gm, _ = merge_duplicates_covisibility(
+            run.submaps, anchors, gids, len(table), radius)
+    elif args.merge == "fixed":
         from tpuslam.graph.submaps import merge_duplicates
 
         gm, _ = merge_duplicates(gm, radius=0.5 * radius)
     mq = map_quality(gm, lm)                     # absolute frame
     mqa = map_quality(gm, lm, align_gauge=True)  # gauge-aligned (standard)
     print(json.dumps({
-        "stage": "ba", "solver": args.solver,
+        "stage": "ba", "solver": solver_used, "merge": args.merge,
         "global_landmarks": int(len(gm)),
         "t_backend_s": round(t_ba, 1),
         "t_total_s": round(t_front + t_ba, 1),

@@ -238,6 +238,34 @@ def test_merge_duplicates_and_match_excluding():
     assert got[2] == -1 and got[0] == 1 and got[1] == 0
 
 
+def test_merge_duplicates_covisibility_semantics():
+    """Evidence-gated assembly merge (VERDICT r3 task 5): a ghost pair
+    (same true landmark under two ids, sighted from DIFFERENT submaps)
+    merges; true neighbors CO-OBSERVED by one submap stay distinct even
+    when they sit closer than the merge radius."""
+    from tpuslam.graph.submaps import ClosedSubmap, merge_duplicates_covisibility
+
+    eye = np.tile(0.01 * np.eye(2), (2, 1, 1))
+    # Submap A co-observes two true neighbors 1.2 m apart (ids 0, 1).
+    sm_a = ClosedSubmap(
+        anchor0=np.zeros(3), lm_local=np.array([[0.0, 0.0], [1.2, 0.0]]),
+        lm_cov=eye, rel_pose=np.zeros(3), rel_cov=np.eye(3) * 1e-4)
+    # Submap B re-observes landmark 0 as a 0.4 m ghost (new id 2) plus a
+    # far landmark (id 3).
+    sm_b = ClosedSubmap(
+        anchor0=np.zeros(3), lm_local=np.array([[0.4, 0.0], [30.0, 0.0]]),
+        lm_cov=eye, rel_pose=np.zeros(3), rel_cov=np.eye(3) * 1e-4)
+    anchors = np.zeros((2, 3))
+    gids = [np.array([0, 1]), np.array([2, 3])]
+    merged, remap = merge_duplicates_covisibility(
+        [sm_a, sm_b], anchors, gids, 4, radius=2.0)
+    assert len(merged) == 3
+    assert remap[0] == remap[2], "disjoint-source ghost pair must merge"
+    assert remap[0] != remap[1], "co-observed neighbors must stay distinct"
+    # merged position is the inverse-variance mean (equal weights here).
+    np.testing.assert_allclose(merged[remap[0]], [0.2, 0.0], atol=1e-9)
+
+
 def test_online_ba_gate_rejects_poisoned_correction():
     """A GN round poisoned by wrong matches (non-finite or a jump far
     beyond registration + drift bounds) must not move the anchor chain —

@@ -1486,6 +1486,213 @@ def merge_duplicates(positions, weights=None, radius: float = 1.5):
     return merged / wsum[:, None], remap.astype(np.int64)
 
 
+def chain_consistency(submaps, anchors, radius: float,
+                      register_radius: float | None = None):
+    """Truth-free internal consistency of an anchor chain: re-match at
+    these anchors, then measure how tightly each submap's sightings
+    agree with the consensus position of their global id.
+
+    Returns {"med_res": median shared-sighting residual [m],
+             "n_shared": ids seen from >= 2 submaps, "M": table size}.
+    med_res is the backend-selection signal (lower = submap clouds agree
+    better); n_shared/M are the guards — a backend that 'improves'
+    med_res by losing cross-submap matches (n_shared collapse) or by
+    splitting ids (M blow-up) is rejected, not rewarded."""
+    gids, table, anc = match_submap_landmarks(
+        submaps, anchors, radius, register_radius=register_radius)
+    M = len(table)
+    pos = np.zeros((M, 2))
+    cnt = np.zeros(M)
+    allg, allid = [], []
+    for sm, a, ids in zip(submaps, anc, gids):
+        if not len(sm.lm_local):
+            continue
+        g = se2_transform_points(a, sm.lm_local)
+        ids = np.asarray(ids, np.int64)
+        np.add.at(pos, ids, g)
+        np.add.at(cnt, ids, 1.0)
+        allg.append(g)
+        allid.append(ids)
+    if not allg:
+        return {"med_res": np.inf, "n_shared": 0, "M": M}
+    pos /= np.maximum(cnt, 1)[:, None]
+    G = np.concatenate(allg)
+    I = np.concatenate(allid)
+    shared = cnt[I] >= 2
+    r = np.linalg.norm(G - pos[I], axis=1)
+    med = float(np.median(r[shared])) if shared.any() else np.inf
+    return {"med_res": med, "n_shared": int((cnt >= 2).sum()), "M": M}
+
+
+def select_backend(submaps, init_anchors, radius: float, *,
+                   register_radius: float | None = None,
+                   candidates=("gpa", "grid"), chunk: int = 4096,
+                   log=None):
+    """Evaluated global-solve selection (VERDICT r3 task 2).
+
+    Round-3's fixed policy ('plain when online-aligned, gpa+grid when
+    dead-reckoned') was measured wrong in both directions on the r4
+    saved runs: whether an optimizer helps depends on how close the
+    front end already is to the consensus floor, and the single biggest
+    real-data failure was not an optimizer at all but the translation
+    VOTE inside the final matching (2k chip run: plain assembly 0.614 m
+    matched RMSE with a 26 m vote window vs 0.237 m with voting off —
+    the vote occasionally locks onto an alias peak and drags whole
+    submaps; callers should pass register_radius=None for chains the
+    online aligner already conformed).
+
+    This routine runs cheap candidate backends from `init_anchors` and
+    keeps the one that best improves the truth-free chain_consistency
+    score, GUARDED so no candidate that degrades matching structure can
+    win: accept only if med_res < 0.98x plain AND n_shared >= 0.97x
+    plain AND M within [0.90, 1.05]x plain.  Otherwise plain assembly
+    stands.  Measured (2k chip run, no vote): plain 0.237 / gpa 0.223 /
+    grid 0.25 truth RMSE with internal med_res ranking them the same
+    way — and the guards reject the re-match instability modes (a
+    poisoned round loses ~3% of n_shared immediately).
+
+    Returns (name, anchors, report) — report has each candidate's
+    internal metrics for the run log."""
+    init = np.asarray(init_anchors, np.float64).reshape(-1, 3)
+    base = chain_consistency(submaps, init, radius,
+                             register_radius=register_radius)
+    cands = {}
+    if "gpa" in candidates and len(submaps) >= 3:
+        try:
+            a, _, _ = gpa_refine_anchors(
+                submaps, init, match_radius=radius,
+                register_radius=register_radius, rematch_rounds=2)
+            cands["gpa"] = np.asarray(a)
+        except Exception as e:  # backend failure must never kill the run
+            if log:
+                log(f"gpa failed: {type(e).__name__}")
+    if "grid" in candidates and len(submaps) >= 2:
+        try:
+            _, _, a = optimize_anchor_graph_grid(
+                submaps, rounds=1, iters=12, match_radius=radius,
+                init_anchors=init, register_radius=register_radius,
+                chunk=chunk, log=log)
+            cands["grid"] = np.asarray(a)
+        except Exception as e:
+            if log:
+                log(f"grid failed: {type(e).__name__}")
+    report = {"plain": base}
+    best_name, best_a, best_med = "plain", init, base["med_res"]
+    for name, a in cands.items():
+        if not np.isfinite(a).all():
+            continue
+        c = chain_consistency(submaps, a, radius,
+                              register_radius=register_radius)
+        report[name] = c
+        ok = (c["med_res"] < 0.98 * base["med_res"]
+              and c["n_shared"] >= 0.97 * base["n_shared"]
+              and 0.90 * base["M"] <= c["M"] <= 1.05 * base["M"])
+        if ok and c["med_res"] < best_med:
+            best_name, best_a, best_med = name, a, c["med_res"]
+    return best_name, best_a, report
+
+
+def merge_duplicates_covisibility(submaps, anchors, gids,
+                                  n_landmarks: int, radius: float,
+                                  chi2: float = 16.0,
+                                  seam: float = 0.35):
+    """Evidence-gated duplicate merge at assembly (VERDICT r3 task 5).
+
+    The fixed-radius union-find (`merge_duplicates`) trades coverage for
+    duplicates because within one match gate it cannot tell a ghost pair
+    (one true landmark split across ids by drift or by the ratio-test
+    rejection) from two TRUE neighbors.  The sighting evidence already in
+    the submaps can: a local filter maps every landmark in its region,
+    so two true neighbors are almost always CO-OBSERVED by at least one
+    submap (which kept them distinct — trust it), while a ghost pair by
+    construction never is (each sighting chain lives in different
+    submaps).  Merge rule, per candidate NN pair within the FULL match
+    `radius`:
+
+      * co-visibility veto — reject if any submap observed both ids;
+      * compatibility gate — reject unless |pos_a - pos_b|^2 <
+        chi2 * (sig_a^2 + sig_b^2 + seam^2), with sig^2 the id's
+        inverse-variance-combined marginal and `seam` the residual
+        cross-submap alignment error the positions can legitimately
+        differ by (measured 0.2-0.5 m rubber-band residual).
+
+    Accepted pairs merge transitively (host union-find); merged position
+    is the inverse-variance mean over ALL member sightings.  Returns
+    (merged (M', 2), remap (M,) old->new).
+    """
+    from tpuslam.native import SpatialIndex
+
+    M = int(n_landmarks)
+    if M == 0:
+        return np.zeros((0, 2)), np.zeros(0, np.int64)
+    pos = np.zeros((M, 2))
+    wsum = np.zeros(M)
+    # Per-(id, submap) incidence for the co-visibility veto, and the
+    # inverse-variance aggregates.
+    ids_all, sub_all = [], []
+    for si, (sm, a, ids) in enumerate(zip(submaps, np.asarray(anchors),
+                                          gids)):
+        if not len(sm.lm_local):
+            continue
+        g = se2_transform_points(a, sm.lm_local)
+        w = 1.0 / np.maximum(
+            np.trace(sm.lm_cov, axis1=1, axis2=2) / 2.0, 1e-9)
+        np.add.at(pos, ids, g * w[:, None])
+        np.add.at(wsum, ids, w)
+        ids_all.append(np.asarray(ids, np.int64))
+        sub_all.append(np.full(len(ids), si, np.int64))
+    pos = pos / np.maximum(wsum, 1e-12)[:, None]
+    sig2 = 1.0 / np.maximum(wsum, 1e-12)   # combined marginal variance
+    ids_all = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
+    sub_all = np.concatenate(sub_all) if sub_all else np.zeros(0, np.int64)
+    # Sorted (id, submap) pairs -> per-id slices for fast intersection.
+    order = np.lexsort((sub_all, ids_all))
+    ids_s, sub_s = ids_all[order], sub_all[order]
+    starts = np.searchsorted(ids_s, np.arange(M))
+    ends = np.searchsorted(ids_s, np.arange(M), side="right")
+
+    idx = SpatialIndex(pos, cell_size=max(radius, 1.0))
+    nn = idx.match_excluding(pos, radius, np.arange(M))
+    cand = np.nonzero(nn >= 0)[0]
+
+    parent = np.arange(M)
+    # Per-root source-submap sets: the veto must hold TRANSITIVELY — a
+    # ghost bridging two co-observed neighbors would otherwise chain
+    # them into one cluster.  Closest pairs first, so genuine ghosts
+    # claim their cluster before a farther neighbor tries to bridge.
+    root_src = {int(a): set(sub_s[starts[a]:ends[a]].tolist())
+                for a in range(M)}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    d2 = np.einsum("ij,ij->i", pos - pos[nn.clip(0)],
+                   pos - pos[nn.clip(0)])
+    gate2 = chi2 * (sig2 + sig2[nn.clip(0)] + seam * seam)
+    for a in cand[np.argsort(d2[cand], kind="stable")]:
+        b = int(nn[a])
+        if d2[a] >= gate2[a]:
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if root_src[ra] & root_src[rb]:
+            continue  # some submap saw both clusters -> true neighbors
+        rlo, rhi = min(ra, rb), max(ra, rb)
+        parent[rhi] = rlo
+        root_src[rlo] |= root_src.pop(rhi)
+    roots = np.array([find(a) for a in range(M)])
+    uniq, remap = np.unique(roots, return_inverse=True)
+    merged = np.zeros((len(uniq), 2))
+    msum = np.zeros(len(uniq))
+    np.add.at(merged, remap, pos * wsum[:, None])
+    np.add.at(msum, remap, wsum)
+    return merged / np.maximum(msum, 1e-12)[:, None], remap.astype(np.int64)
+
+
 def assemble_global_map(submaps, anchors, gids, n_landmarks: int):
     """Merge the submap maps under the given anchor poses.
 

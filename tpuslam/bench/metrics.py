@@ -122,10 +122,18 @@ def map_quality(est_landmarks, true_landmarks, match_radius: float = 2.0,
             "duplicate_rate": 0.0, "matched_rmse": float("nan"),
             "coverage": 0.0,
         }
-    d = np.linalg.norm(est[:, None, :] - true[None, :, :], axis=-1)
-    nearest = d.argmin(axis=1)
-    dist = d[np.arange(n_est), nearest]
-    matched = dist <= match_radius
+    # Native radius-NN instead of the dense (n_est, n_true) distance
+    # matrix — at 24k x 20k that matrix is ~8 GB and took 3 minutes; the
+    # decisions are identical (an estimate's nearest true landmark
+    # within match_radius, else spurious).
+    from tpuslam.native import SpatialIndex
+
+    idx = SpatialIndex(true, cell_size=max(match_radius, 1.0))
+    nearest = idx.match(est, match_radius)
+    matched = nearest >= 0
+    dist = np.full(n_est, np.inf)
+    dist[matched] = np.linalg.norm(
+        est[matched] - true[nearest[matched]], axis=1)
     claimed = nearest[matched]
     uniq = np.unique(claimed)
     n_dup = int(matched.sum() - len(uniq))

@@ -143,7 +143,8 @@ class SubmapSLAM:
                  online_ba: bool = True, match_radius: float = 3.0,
                  online_ba_iters: int = 8, adaptive_chunks: bool = True,
                  register_radius: float | None = 15.0,
-                 online_mode: str | None = None):
+                 online_mode: str | None = None,
+                 refine_window: int = 48):
         import jax.numpy as jnp
 
         self.cfg = cfg
@@ -216,6 +217,9 @@ class SubmapSLAM:
         # reuse conservative.
         self.handover = handover
         self.handover_inflate = handover_inflate
+        # At-closure GN polish window (submaps) — bounds the per-closure
+        # refine cost independent of run length.
+        self.refine_window = refine_window
 
     def run(self, waypoints, landmarks, n_epochs: int, key) -> SubmapRun:
         import jax
@@ -552,13 +556,27 @@ class SubmapSLAM:
         return anchor
 
     def _refine_chain(self, submaps):
-        """Gauss-Newton polish of the whole closed chain right after a
-        loop closure (host factor-list path; the chain is short online),
-        then rebuild the table from the refined anchors."""
-        init = np.asarray([sm.anchor0 for sm in submaps])
+        """Gauss-Newton polish right after a significant loop closure,
+        WINDOWED to the drifted tail (host factor-list path).
+
+        The r3 version optimized the WHOLE chain and rebuilt the whole
+        table — an O(run-length) cost per significant closure that broke
+        the constant-cost-per-epoch claim at scale (20k run: one late
+        refine over 271 submaps ~ 10^5 Python-loop factor builds, the
+        measured late-chunk wall spike).  The rubber band has already
+        fixed anchors before `_last_fix`; only the segment since then
+        (capped at `refine_window` submaps) needs the nonlinear polish.
+        The window's first anchor holds the gauge via the BA prior, so
+        the refined tail stays registered to the frozen head."""
+        j0 = max(0, min(self._last_fix - 1, len(submaps) - 3))
+        j0 = max(j0, len(submaps) - self.refine_window)
+        tail = submaps[j0:]
+        if len(tail) < 3:
+            return False
+        init = np.asarray([sm.anchor0 for sm in tail])
         try:
             _, _, opt = optimize_anchor_graph(
-                submaps, rounds=1, iters=12,
+                tail, rounds=1, iters=12,
                 match_radius=self.match_radius, init_anchors=init,
             )
         except Exception:
@@ -566,10 +584,36 @@ class SubmapSLAM:
         opt = np.asarray(opt)
         if not np.isfinite(opt).all():
             return False
-        for j, sm in enumerate(submaps):
-            submaps[j] = sm._replace(anchor0=opt[j])
-        self._rebuild_table(submaps)
+        for j, sm in enumerate(tail):
+            submaps[j0 + j] = sm._replace(anchor0=opt[j])
+        self._rebuild_table_tail(submaps, j0)
         return True
+
+    def _rebuild_table_tail(self, submaps, j0):
+        """Re-derive the online table rows sourced from submaps >= j0
+        (same first-seen incremental-growth semantics); rows from the
+        frozen head are kept as-is, so the cost is O(tail), not
+        O(run-length)."""
+        from tpuslam.native import SpatialIndex
+
+        keep = self._table_src < j0
+        table, src = self._table[keep], self._table_src[keep]
+        for j in range(j0, len(submaps)):
+            sm = submaps[j]
+            if not len(sm.lm_local):
+                continue
+            g = se2_transform_points(sm.anchor0, sm.lm_local)
+            if len(table):
+                idx = SpatialIndex(table,
+                                   cell_size=max(self.match_radius, 1.0))
+                new = idx.match(np.asarray(g, np.float64),
+                                self.match_radius) < 0
+            else:
+                new = np.ones(len(g), bool)
+            table = np.concatenate([table, np.asarray(g, np.float64)[new]])
+            src = np.concatenate(
+                [src, np.full(int(new.sum()), j, np.int64)])
+        self._table, self._table_src = table, src
 
     def _rebuild_table(self, submaps):
         """Re-derive the online table (+ per-row source submap) from the

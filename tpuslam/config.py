@@ -105,6 +105,19 @@ class SimConfig:
     pf_merge_radius: float = 1.0   # [m] merge features closer than this
     pf_prune_below: int = -3       # drop features with evidence count < this
     pf_visibility_margin: float = 0.7   # miss-penalty range fraction
+    # New-feature NIS gate for the PARTICLE filter, deliberately much
+    # stricter than the EKF's reference gate 25 (ekfslam-sim.jl:114).
+    # A particle's innovation covariance S = Hf Pf Hf' + R carries no
+    # pose uncertainty (the pose is a sample), so pose drift inflates
+    # NIS and the reference gate mints ghost features on revisits — the
+    # measured dominant FastSLAM failure mode: 2/5 seeds collapse
+    # (ATE 2.1-3.9, 21-42 spurious, slot saturation) at gate 25;
+    # at 100 the same seeds track (5-seed 100p CPU ATE
+    # [1.13, 0.99, 1.20, 0.29, 1.42], spurious <= 6).  Failures were
+    # particle-count-INDEPENDENT (same per-seed ATE at 100/1k/10k),
+    # which is what pinned the mechanism on the shared observation
+    # stream gating rather than proposal starvation.
+    pf_gate_newfeat: float = 100.0
     # Measured (100p, course1, 2 seeds): floor -3 + margin 0.7 keeps the
     # prune dormant on healthy runs (identical results to merge-only)
     # while still bounding true spurious growth; floor 0 + margin 0.85

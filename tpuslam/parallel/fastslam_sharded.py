@@ -174,7 +174,8 @@ def pf_observation_step_shard(cfg: SimConfig, landmarks,
 
     fm, fP, n, cnt, dlogw = jax.vmap(
         lambda p, m, c, k, e: _particle_measurement(
-            p, m, c, k, e, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat,
+            p, m, c, k, e, z, z_mask, R, cfg.gate_assoc,
+            cfg.pf_gate_newfeat,
             cfg.vehicle.sensor_range, cfg.pf_visibility_margin,
         )
     )(st.pf.poses, st.pf.fm, st.pf.fP, st.pf.n, st.pf.cnt)

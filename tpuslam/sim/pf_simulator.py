@@ -81,7 +81,7 @@ def pf_observation_step(cfg: SimConfig, landmarks, st: PFSimState, obs_noise,
     )
     key, kr = jax.random.split(st.key)
     pf = measurement_update(
-        st.pf, z, z_mask, R, cfg.gate_assoc, cfg.gate_newfeat,
+        st.pf, z, z_mask, R, cfg.gate_assoc, cfg.pf_gate_newfeat,
         sensor_range=cfg.vehicle.sensor_range,
         visibility_margin=cfg.pf_visibility_margin,
     )

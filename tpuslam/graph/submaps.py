@@ -440,7 +440,7 @@ class SubmapSLAM:
                     g = se2_transform_points(a0, sm.lm_local)
                     anchor = cand
             if self.register_radius:
-                lc = self._loop_closure_probe(g, i)
+                lc = self._loop_closure_probe(g, i, done=done)
                 if lc is not None:
                     th, t, n_in = lc
                     cand = _se2_apply_to_pose(th, t, anchor)
@@ -514,7 +514,7 @@ class SubmapSLAM:
                 anchor = cand
                 g = se2_transform_points(anchor, loc)
         if self.register_radius:
-            lc = self._loop_closure_probe(g, i)
+            lc = self._loop_closure_probe(g, i, done=done)
             if lc is not None:
                 th, t, n_in = lc
                 cand = _se2_apply_to_pose(th, t, anchor)
@@ -632,16 +632,37 @@ class SubmapSLAM:
                 seen = max(seen, int(g.max()) + 1)
         self._table, self._table_src = np.asarray(table), src
 
-    def _loop_closure_probe(self, g, i, gap: int = 3):
+    def loop_budget(self, done) -> float:
+        """Drift budget [m] accruable since the last absolute fix —
+        heading error integrates, so position drift grows superlinearly
+        with travel: measured ~16 m after 330 m around a block perimeter
+        (5%), budgeted at 6% of travel, floored at a few match gates for
+        the steady re-conformed regime."""
+        dist_m = 0.6 * max(done - self._last_fix_done, 0)
+        return 0.06 * max(dist_m, 50.0) + 3.0 * self.match_radius
+
+    def _loop_closure_probe(self, g, i, done=None, gap: int = 3):
         """Registration of the just-closed submap against table entries
         inserted >= `gap` submaps ago, cropped to the submap's bbox —
         the temporal split that makes a loop-closure offset visible to
-        translation voting (stage 2 of _align_closure)."""
+        translation voting (stage 2 of _align_closure).
+
+        The vote window is scheduled from the DRIFT BUDGET, not the
+        course structure: any offset beyond loop_budget(done) would be
+        rejected by accept_loop anyway, so searching there is pure harm
+        — in a dense field those bins hold alias peaks that out-vote and
+        MASK the true one (the r3 20k lawnmower failure).  Within the
+        window, the top-k vote peaks are each scored at a tight gate
+        (align_submap_to_table topk path) so a taller alias cannot mask
+        a true offset that actually registers the cloud."""
+        rr = self.register_radius
+        if done is not None:
+            rr = min(rr, self.loop_budget(done))
         old = self._table_src <= i - gap
         if old.sum() < 12 or not len(g):
             return None
-        lo = g.min(0) - self.register_radius
-        hi = g.max(0) + self.register_radius
+        lo = g.min(0) - rr
+        hi = g.max(0) + rr
         sel = (old & (self._table[:, 0] >= lo[0])
                & (self._table[:, 0] <= hi[0])
                & (self._table[:, 1] >= lo[1])
@@ -650,7 +671,7 @@ class SubmapSLAM:
             return None
         return align_submap_to_table(
             g, self._table[sel], self.match_radius,
-            register_radius=self.register_radius,
+            register_radius=rr, topk=6,
         )
 
     def _rubber_band(self, submaps, th, t, i):
@@ -721,13 +742,11 @@ class SubmapSLAM:
         if not np.isfinite(cand).all():
             return False
         # Heading error integrates, so position drift grows SUPERlinearly
-        # with travel: measured ~16 m after 330 m around a block perimeter
-        # (5%), not the ~1%/m local rate — budget accordingly, floored at
-        # a few match gates for the steady re-conformed regime.
-        dist_m = 0.6 * max(done - self._last_fix_done, 0)
-        budget = 0.06 * max(dist_m, 50.0) + 3.0 * self.match_radius
+        # with travel (measured ~16 m after 330 m around a block
+        # perimeter) — see loop_budget, which also schedules the vote
+        # window so search and acceptance use the same bound.
         corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
-        return corr < budget and n_in >= 12
+        return corr < self.loop_budget(done) and n_in >= 12
 
     def _closure_extract(self, ekf):
         """On-device view of what a closure needs: (x, per-landmark 2x2
@@ -838,9 +857,63 @@ class SubmapSLAM:
         return st._replace(ekf=ekf), new_anchor, n_seed
 
 
+def _vote_topk(dst, src, radius: float, bin_size: float = 1.0, k: int = 6):
+    """Top-k peaks of the pairwise-offset histogram from `src` onto `dst`
+    (NumPy, chunked; same binning/refinement semantics as the native
+    offset_vote, which returns only the argmax).  Argmax-only voting is
+    exactly the at-scale alias failure: in a dense field a wrong 50 m
+    alias peak can out-vote the true offset, and the acceptance gate then
+    rejects everything — the true peak never even surfaces (the r3 20k
+    lawnmower failure, PERF.md).  Returning the k tallest NON-ADJACENT
+    peaks lets the caller score each with the tight-gate test and keep
+    the one that actually registers.
+
+    Returns list of ((dx, dy), votes), tallest first."""
+    dst = np.asarray(dst, np.float64).reshape(-1, 2)
+    src = np.asarray(src, np.float64).reshape(-1, 2)
+    if not len(dst) or not len(src):
+        return []
+    nb = max(1, int(2 * radius / bin_size) + 1)
+    H = np.zeros((nb, nb), np.int64)
+    sx = np.zeros((nb, nb))
+    sy = np.zeros((nb, nb))
+    r2 = radius * radius
+    for q0 in range(0, len(src), 128):
+        q = src[q0:q0 + 128]
+        d = dst[None, :, :] - q[:, None, :]
+        ok = (d * d).sum(-1) < r2
+        dd = d[ok]
+        if not len(dd):
+            continue
+        bx = np.clip(((dd[:, 0] + radius) / bin_size).astype(int), 0, nb - 1)
+        by = np.clip(((dd[:, 1] + radius) / bin_size).astype(int), 0, nb - 1)
+        np.add.at(H, (bx, by), 1)
+        np.add.at(sx, (bx, by), dd[:, 0])
+        np.add.at(sy, (bx, by), dd[:, 1])
+    # 3x3-summed peak strength, refined to the neighborhood mean offset.
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    Hp = np.pad(H, 1)
+    S = sliding_window_view(Hp, (3, 3)).sum((2, 3))
+    SX = sliding_window_view(np.pad(sx, 1), (3, 3)).sum((2, 3))
+    SY = sliding_window_view(np.pad(sy, 1), (3, 3)).sum((2, 3))
+    out = []
+    S = S.copy()
+    for _ in range(k):
+        i, j = np.unravel_index(np.argmax(S), S.shape)
+        v = int(S[i, j])
+        if v <= 0:
+            break
+        out.append(((SX[i, j] / v, SY[i, j] / v), v))
+        # suppress this peak's neighborhood so the next pick is distinct
+        S[max(i - 2, 0):i + 3, max(j - 2, 0):j + 3] = 0
+    return out
+
+
 def align_submap_to_table(g, table, radius: float,
                           register_radius: float | None = None,
-                          min_matches: int = 12, tighten: float = 0.5):
+                          min_matches: int = 12, tighten: float = 0.5,
+                          topk: int = 1):
     """Rigid SE(2) registration of one submap's global-frame landmarks
     against the running global table (native radius-NN + closed-form
     Kabsch, two match->fit rounds, the second at a tightened gate).
@@ -866,15 +939,29 @@ def align_submap_to_table(g, table, radius: float,
     Rc = np.eye(2)
     tc = np.zeros(2)
     if register_radius:
-        (dx, dy), votes = idx.offset_vote(gg, register_radius, bin_size=1.0)
-        if votes >= min_matches and (dx * dx + dy * dy) > 0.25:
+        if topk > 1:
+            peaks = _vote_topk(table, gg, register_radius, bin_size=1.0,
+                               k=topk)
+        else:
+            peaks = [idx.offset_vote(gg, register_radius, bin_size=1.0)]
+        sg = min(radius, 1.0)
+        h0 = int((idx.match(gg, sg) >= 0).sum())
+        need = max(1.5 * h0, h0 + min(8, max(2, len(gg) // 4)))
+        best_d, best_hs = None, need
+        for (dx, dy), votes in peaks:
+            if votes < min_matches or (dx * dx + dy * dy) <= 0.25:
+                continue
             d = np.asarray([dx, dy])
-            sg = min(radius, 1.0)
-            h0 = int((idx.match(gg, sg) >= 0).sum())
+            # RANSAC-style scoring at a TIGHT gate: an alias peak matches
+            # ~random-baseline points there, the true offset registers
+            # the cloud — this is what discriminates when vote counts
+            # alone cannot (argmax masking).
             hs = int((idx.match(gg + d, sg) >= 0).sum())
-            if hs > max(1.5 * h0, h0 + min(8, max(2, len(gg) // 4))):
-                gg += d
-                tc += d
+            if hs > best_hs:
+                best_hs, best_d = hs, d
+        if best_d is not None:
+            gg += best_d
+            tc += best_d
 
     n_in = 0
     for r in (radius, tighten * radius):

@@ -563,13 +563,15 @@ class SubmapSLAM:
         table — an O(run-length) cost per significant closure that broke
         the constant-cost-per-epoch claim at scale (20k run: one late
         refine over 271 submaps ~ 10^5 Python-loop factor builds, the
-        measured late-chunk wall spike).  The rubber band has already
-        fixed anchors before `_last_fix`; only the segment since then
-        (capped at `refine_window` submaps) needs the nonlinear polish.
-        The window's first anchor holds the gauge via the BA prior, so
-        the refined tail stays registered to the frozen head."""
-        j0 = max(0, min(self._last_fix - 1, len(submaps) - 3))
-        j0 = max(j0, len(submaps) - self.refine_window)
+        measured late-chunk wall spike).  The window is the LAST
+        `refine_window` submaps — for chains shorter than the window
+        this is exactly the old whole-chain polish (bisected: an earlier
+        attempt that also cut the window at the last loop fix regressed
+        a 600-landmark run's map RMSE 0.286 -> 0.627 by skipping the
+        polish of recently-banded-but-fixed segments).  The window's
+        first anchor holds the gauge via the BA prior, so the refined
+        tail stays registered to the frozen head."""
+        j0 = max(0, len(submaps) - self.refine_window)
         tail = submaps[j0:]
         if len(tail) < 3:
             return False

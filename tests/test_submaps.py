@@ -266,6 +266,53 @@ def test_merge_duplicates_covisibility_semantics():
     np.testing.assert_allclose(merged[remap[0]], [0.2, 0.0], atol=1e-9)
 
 
+def test_vote_topk_rescues_masked_true_offset():
+    """The r3 at-scale alias failure: a dense blob mints a vote peak
+    TALLER than the true registration offset, argmax-only voting
+    surfaces only the alias, the tight-gate test rejects it, and the
+    true offset never gets tried.  topk scoring must try the true peak
+    and register it."""
+    rng = np.random.default_rng(7)
+    spread = rng.uniform(0, 60, (30, 2))
+    blob_src = np.array([10.0, 50.0]) + 0.2 * rng.standard_normal((12, 2))
+    blob_dst = np.array([45.0, 5.0]) + 0.2 * rng.standard_normal((12, 2))
+    d_true = np.array([4.0, -3.0])
+    src = np.concatenate([spread, blob_src])
+    table = np.concatenate([spread + d_true, blob_dst])
+
+    from tpuslam.graph.submaps import _vote_topk, align_submap_to_table
+
+    peaks = _vote_topk(table, src, 60.0, bin_size=1.0, k=6)
+    # the alias (blob-to-blob, ~144 concentrated pair votes) out-votes
+    # the true offset (~30 votes)
+    (d0, v0) = peaks[0]
+    assert v0 > 60 and np.hypot(*(np.asarray(d0) - d_true)) > 5.0, \
+        "test scene must make the alias the tallest peak"
+    assert any(np.hypot(*(np.asarray(d) - d_true)) < 1.0 for d, _ in peaks)
+
+    res = align_submap_to_table(src, table, radius=2.0,
+                                register_radius=60.0, topk=6)
+    assert res is not None
+    th, t, n_in = res
+    # the recovered rigid correction must map src onto the table: check
+    # the transform moves the spread points to their true positions
+    c, s = np.cos(th), np.sin(th)
+    moved = src @ np.array([[c, -s], [s, c]]).T + t
+    err = np.linalg.norm(moved[:30] - (spread + d_true), axis=1)
+    assert np.median(err) < 0.5, f"topk failed to register: {np.median(err)}"
+
+    # argmax-only voting surfaces only the alias and must NOT land the
+    # true offset (this is the masking failure the topk path fixes)
+    res1 = align_submap_to_table(src, table, radius=2.0,
+                                 register_radius=60.0, topk=1)
+    if res1 is not None:
+        th1, t1, _ = res1
+        c, s = np.cos(th1), np.sin(th1)
+        moved1 = src @ np.array([[c, -s], [s, c]]).T + t1
+        err1 = np.linalg.norm(moved1[:30] - (spread + d_true), axis=1)
+        assert np.median(err1) > np.median(err) - 1e-9
+
+
 def test_online_ba_gate_rejects_poisoned_correction():
     """A GN round poisoned by wrong matches (non-finite or a jump far
     beyond registration + drift bounds) must not move the anchor chain —

@@ -462,7 +462,10 @@ class SubmapSLAM:
                             # linear rubber band is only a prior) and
                             # rebuild the table ghost-free — BEFORE
                             # later submaps conform to a bent ring.
-                            self._refine_chain(submaps)
+                            self._refine_chain(
+                                submaps,
+                                max_move=2.0 * float(np.hypot(*t))
+                                + 3.0 * self.match_radius)
                         sm = submaps[-1]
                         g = se2_transform_points(sm.anchor0, sm.lm_local)
                         anchor = se2_compose(sm.anchor0, sm.rel_pose)
@@ -510,7 +513,19 @@ class SubmapSLAM:
         if res is not None:
             th, t, n_in = res
             cand = _se2_apply_to_pose(th, t, anchor)
-            if self.accept_correction(cand, anchor):
+            ok = self.accept_correction(cand, anchor)
+            corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
+            dth = float(_wrap(cand[2] - anchor[2]))
+            if not ok or corr > 0.5 * self.match_radius or abs(dth) > 0.01:
+                # The stage-1 conformance fit used to be untraced — the
+                # 75 m rotation failure (see accept_correction) was
+                # invisible in the run log.  Record anything nontrivial.
+                self.trace.append({
+                    "closure": i, "n_epochs": done, "corr_m": corr,
+                    "corr_rad": dth, "n_inliers": int(n_in),
+                    "stage1": True, "accepted": bool(ok),
+                })
+            if ok:
                 anchor = cand
                 g = se2_transform_points(anchor, loc)
         if self.register_radius:
@@ -540,7 +555,9 @@ class SubmapSLAM:
                             # branch; the OPEN submap follows the last
                             # closed anchor's refinement delta.
                             pre = submaps[-1].anchor0.copy()
-                            if self._refine_chain(submaps):
+                            mm = (2.0 * float(np.hypot(*t))
+                                  + 3.0 * self.match_radius)
+                            if self._refine_chain(submaps, max_move=mm):
                                 post = submaps[-1].anchor0
                                 d_th = _wrap(post[2] - pre[2])
                                 cd, sd = np.cos(d_th), np.sin(d_th)
@@ -555,7 +572,7 @@ class SubmapSLAM:
                     self._last_fix_done = done
         return anchor
 
-    def _refine_chain(self, submaps):
+    def _refine_chain(self, submaps, max_move=None):
         """Gauss-Newton polish right after a significant loop closure,
         WINDOWED to the drifted tail (host factor-list path).
 
@@ -585,6 +602,19 @@ class SubmapSLAM:
             return False
         opt = np.asarray(opt)
         if not np.isfinite(opt).all():
+            return False
+        # Acceptance gate: the refine is a POLISH of a just-banded chain
+        # — anchors should move by at most ~the applied correction plus a
+        # few match gates.  A finite-but-wrong tail solve (wrong matches
+        # on a short window have little redundancy) must not silently
+        # throw the chain.
+        disp = float(np.linalg.norm((opt[:, :2] - init[:, :2]), axis=1).max())
+        dth = float(np.abs(_wrap(opt[:, 2] - init[:, 2])).max())
+        gate = (max_move if max_move is not None
+                else 3.0 * self.match_radius)
+        if disp > gate or dth > 0.05:
+            self.trace.append({"refine": True, "max_move_m": disp,
+                               "max_rad": dth, "accepted": False})
             return False
         for j, sm in enumerate(tail):
             submaps[j0 + j] = sm._replace(anchor0=opt[j])
@@ -726,8 +756,19 @@ class SubmapSLAM:
         poisoned solve — reject it and keep the dead-reckoned chain (the
         next closure gets another chance with fresh matches).  The old
         20x match_radius gate (60 m at defaults) admitted corrections the
-        size of the 71 m ATE failure it was meant to stop."""
+        size of the 71 m ATE failure it was meant to stop.
+
+        The gate must ALSO bound the ROTATION: an SE(2) fit pivots about
+        its matched cloud's centroid, so the anchor can move millimeters
+        while everything far from the pivot swings by |dtheta| x
+        distance — measured 20k failure: an untraced 0.2 rad stage-1
+        alignment fit passed the position-only gate (anchor moved
+        0.21 m) and displaced the vehicle pose 75 m in one chunk.  A
+        legitimate conformance correction of an online-aligned chain has
+        |dtheta| ~ 1e-3 rad (trace p50); 0.03 rad is generous."""
         if not np.isfinite(cand).all():
+            return False
+        if abs(_wrap(cand[2] - anchor[2])) > 0.03:
             return False
         gate = (self.register_radius or 0.0) + 4.0 * self.match_radius
         return bool(np.linalg.norm(cand[:2] - anchor[:2]) < gate)
@@ -746,7 +787,12 @@ class SubmapSLAM:
         # Heading error integrates, so position drift grows SUPERlinearly
         # with travel (measured ~16 m after 330 m around a block
         # perimeter) — see loop_budget, which also schedules the vote
-        # window so search and acceptance use the same bound.
+        # window so search and acceptance use the same bound.  The
+        # rotation gate mirrors accept_correction's (see there): heading
+        # drift accrues ~1e-4 rad/m of travel, so budget it the same way.
+        if abs(_wrap(cand[2] - anchor[2])) > \
+                0.03 + 2e-4 * 0.6 * max(done - self._last_fix_done, 0):
+            return False
         corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
         return corr < self.loop_budget(done) and n_in >= 12
 

@@ -266,6 +266,25 @@ def test_merge_duplicates_covisibility_semantics():
     np.testing.assert_allclose(merged[remap[0]], [0.2, 0.0], atol=1e-9)
 
 
+def test_accept_gates_bound_rotation():
+    """The 75 m failure mode: an SE(2) fit pivoting at its matched
+    cloud's centroid can move the anchor millimeters while rotating the
+    frame 0.2 rad — the acceptance gates must reject on rotation, not
+    only on anchor displacement."""
+    from tpuslam.config import SimConfig
+    from tpuslam.graph.submaps import SubmapSLAM
+
+    slam = SubmapSLAM(SimConfig(), match_radius=2.26, register_radius=20.0)
+    anchor = np.array([500.0, 400.0, 1.0])
+    near = anchor + np.array([0.2, -0.1, 0.001])
+    rot = anchor + np.array([0.2, -0.1, 0.2])
+    assert slam.accept_correction(near, anchor)
+    assert not slam.accept_correction(rot, anchor)
+    slam._last_fix_done = 0
+    assert slam.accept_loop(near, anchor, n_in=20, n_pts=100, done=100)
+    assert not slam.accept_loop(rot, anchor, n_in=20, n_pts=100, done=100)
+
+
 def test_vote_topk_rescues_masked_true_offset():
     """The r3 at-scale alias failure: a dense blob mints a vote peak
     TALLER than the true registration offset, argmax-only voting

@@ -101,6 +101,13 @@ def main():
                          "in-filter duplicates (reference default 30)")
     ap.add_argument("--row-spacing", type=float, default=35.0)
     ap.add_argument("--handover-inflate", type=float, default=4.0)
+    ap.add_argument("--vote-topk", type=int, default=1,
+                    help="score the k tallest loop-probe vote peaks at a "
+                         "tight gate (de-masks alias-buried offsets; for "
+                         "courses with long unclosed loops)")
+    ap.add_argument("--budget-window", action="store_true",
+                    help="clamp the loop-probe vote window to the drift "
+                         "budget since the last fix")
     ap.add_argument("--max-epochs", type=int, default=120000,
                     help="epoch-budget ceiling; a survey course at extent "
                          "E needs ~E^2/(row_spacing*0.6) epochs — raise "
@@ -179,7 +186,9 @@ def main():
                       match_radius=radius, online_mode=args.mode,
                       handover=not args.no_handover,
                       handover_inflate=args.handover_inflate,
-                      register_radius=reg_r)
+                      register_radius=reg_r,
+                      vote_topk=args.vote_topk,
+                      budget_vote_window=args.budget_window)
 
     # Per-chunk timing now comes from slam.chunk_wall (recorded inside
     # run() around the single dispatch+fetch per chunk) — the old
@@ -231,13 +240,15 @@ def main():
         "ms_per_epoch_last_decile": round(
             float(np.mean(th[-max(1, len(th) // 10):])), 3),
     }), flush=True)
-    tr = slam.trace
+    tr = [t for t in slam.trace if "corr_m" in t]
+    refines = [t for t in slam.trace if t.get("refine")]
     if tr:
         co = np.asarray([t["corr_m"] for t in tr])
         nacc = sum(t["accepted"] for t in tr)
         print(json.dumps({
             "stage": "trace", "n_corrections": len(tr),
             "n_accepted": int(nacc),
+            "n_refine_rejected": len(refines),
             "corr_m_p50": round(float(np.median(co)), 2),
             "corr_m_max": round(float(co.max()), 2),
             "rejected_sizes_m": [round(t["corr_m"], 1) for t in tr

@@ -295,10 +295,21 @@ def main():
             run.submaps, rounds=args.rounds, iters=15, match_radius=radius,
             init_anchors=anchors, register_radius=reg_backend,
         )
-    # Final consistent matching at the solved anchors (cheap, and keeps
-    # the assembled map in lockstep with the anchors for every solver).
-    gids, table, anchors = match_submap_landmarks(
-        run.submaps, anchors, radius, register_radius=reg_backend)
+    # Assembly associations: prefer the ONLINE gids (each submap was
+    # matched against the emerging map when relative drift was near
+    # zero) — the offline re-match has a quality cliff once accumulated
+    # drift crosses the match gate (measured 20k: online aligned-ATE
+    # 2.1 m yet re-matched coverage 0.39).  Associations are
+    # anchor-independent, so they remain valid under solver-refined
+    # anchors.  Fall back to re-matching for non-align runs.
+    if getattr(run, "online_gids", None) is not None:
+        gids, table = run.online_gids, run.online_table
+        anchors = np.asarray(anchors)
+        log("assembly: online associations")
+    else:
+        gids, table, anchors = match_submap_landmarks(
+            run.submaps, anchors, radius, register_radius=reg_backend)
+        log("assembly: offline re-match")
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids, len(table))
     if args.merge == "covis":

@@ -123,6 +123,17 @@ class SubmapRun(NamedTuple):
     true_pose: np.ndarray    # (T, 3)
     active: np.ndarray       # (T,) bool — course not yet finished
     anchors: np.ndarray      # (S, 3) dead-reckoned anchor chain (pre-BA)
+    # Align-mode only: the ONLINE cross-submap associations.  gids[i] is
+    # submap i's global landmark ids into online_table — recorded when
+    # each submap was matched against the emerging map with relative
+    # drift near zero.  Assembly should inherit these instead of
+    # re-matching from scratch at final-anchor drift: the offline
+    # re-match has a quality CLIFF once accumulated drift crosses the
+    # match gate (measured 20k: online aligned-ATE 2.1 m yet re-matched
+    # coverage 0.39 from ghost copies), while the online associations
+    # were made under the gate by construction.
+    online_gids: list | None = None
+    online_table: np.ndarray | None = None
 
 
 # ------------------------------------------------------------ the driver
@@ -172,6 +183,7 @@ class SubmapSLAM:
         # (rubber-band distribution anchor), and the epoch count at that
         # fix (drift-budget gate for loop corrections).
         self._table_src = np.zeros(0, np.int64)
+        self._online_gids: list = []
         self._last_fix = 0
         self._last_fix_done = 0
         self._last_align = 0
@@ -220,8 +232,13 @@ class SubmapSLAM:
         self.handover = handover
         self.handover_inflate = handover_inflate
         # At-closure GN polish window (submaps) — bounds the per-closure
-        # refine cost independent of run length.
-        self.refine_window = refine_window
+        # refine cost independent of run length.  Env overrides for
+        # at-scale attribution experiments: TPUSLAM_REFINE_WINDOW (int),
+        # TPUSLAM_REFINE_GATE=off (disable the displacement gate).
+        self.refine_window = int(
+            os.environ.get("TPUSLAM_REFINE_WINDOW", refine_window))
+        self.refine_gate = os.environ.get(
+            "TPUSLAM_REFINE_GATE", "on") != "off"
         # Loop-probe vote options, OPT-IN (for courses with long
         # unclosed loops): topk>1 scores the k tallest vote peaks at a
         # tight gate instead of argmax-only (de-masks true offsets that
@@ -247,6 +264,7 @@ class SubmapSLAM:
         # inherit the first run's align cadence marker (done restarts at
         # 0, so a stale _last_align would suppress early midrun aligns).
         self._last_align = 0
+        self._online_gids: list = []
         wp = jnp.asarray(waypoints, dtype)
         lm = jnp.asarray(landmarks, dtype)
         st = init_sim_state(cfg, wp, dtype=dtype)
@@ -400,12 +418,16 @@ class SubmapSLAM:
         if self.online_mode == "align" and submaps:
             self._align_closure(submaps, anchor, done)
 
+        online_ok = (self.online_mode == "align"
+                     and len(self._online_gids) == len(submaps))
         return SubmapRun(
             submaps=submaps,
             slam_pose=np.concatenate(slam_g),
             true_pose=np.concatenate(true_g),
             active=np.concatenate(act_g),
             anchors=np.asarray(anchors),
+            online_gids=(list(self._online_gids) if online_ok else None),
+            online_table=(self._table.copy() if online_ok else None),
         )
 
     def _align_closure(self, submaps, anchor, done):
@@ -489,14 +511,19 @@ class SubmapSLAM:
             if len(self._table):
                 idx = SpatialIndex(self._table,
                                    cell_size=max(self.match_radius, 1.0))
-                new = idx.match(np.asarray(g, np.float64),
-                                self.match_radius) < 0
+                m = idx.match(np.asarray(g, np.float64), self.match_radius)
             else:
-                new = np.ones(len(g), bool)
+                m = np.full(len(g), -1, np.int64)
+            new = m < 0
+            ids = m.astype(np.int64)
+            ids[new] = len(self._table) + np.arange(int(new.sum()))
+            self._online_gids.append(ids)
             self._table = np.concatenate(
                 [self._table, np.asarray(g, np.float64)[new]])
             self._table_src = np.concatenate(
                 [self._table_src, np.full(int(new.sum()), i, np.int64)])
+        else:
+            self._online_gids.append(np.zeros(0, np.int64))
         return anchor
 
     def _midrun_align(self, st, anchor, i, done, submaps, n=None,
@@ -626,8 +653,9 @@ class SubmapSLAM:
         dth = float(np.abs(_wrap(opt[:, 2] - init[:, 2])).max())
         gate = (max_move if max_move is not None
                 else 3.0 * self.match_radius)
-        if disp > gate or dth > 0.05:
-            self.trace.append({"refine": True, "max_move_m": disp,
+        if self.refine_gate and (disp > gate or dth > 0.05):
+            self.trace.append({"refine": True, "n_submaps": len(submaps),
+                               "max_move_m": disp,
                                "max_rad": dth, "accepted": False})
             return False
         for j, sm in enumerate(tail):
@@ -637,9 +665,11 @@ class SubmapSLAM:
 
     def _rebuild_table_tail(self, submaps, j0):
         """Re-derive the online table rows sourced from submaps >= j0
-        (same first-seen incremental-growth semantics); rows from the
-        frozen head are kept as-is, so the cost is O(tail), not
-        O(run-length)."""
+        (same first-seen incremental-growth semantics, with the online
+        gids refreshed in lockstep); rows from the frozen head keep
+        their row NUMBERS (insertion order is by closure, so `src` is
+        non-decreasing and the kept rows are a prefix) — head gids stay
+        valid and the cost is O(tail), not O(run-length)."""
         from tpuslam.native import SpatialIndex
 
         keep = self._table_src < j0
@@ -647,36 +677,25 @@ class SubmapSLAM:
         for j in range(j0, len(submaps)):
             sm = submaps[j]
             if not len(sm.lm_local):
+                if j < len(self._online_gids):
+                    self._online_gids[j] = np.zeros(0, np.int64)
                 continue
             g = se2_transform_points(sm.anchor0, sm.lm_local)
             if len(table):
                 idx = SpatialIndex(table,
                                    cell_size=max(self.match_radius, 1.0))
-                new = idx.match(np.asarray(g, np.float64),
-                                self.match_radius) < 0
+                m = idx.match(np.asarray(g, np.float64), self.match_radius)
             else:
-                new = np.ones(len(g), bool)
+                m = np.full(len(g), -1, np.int64)
+            new = m < 0
+            ids = m.astype(np.int64)
+            ids[new] = len(table) + np.arange(int(new.sum()))
+            if j < len(self._online_gids):
+                self._online_gids[j] = ids
             table = np.concatenate([table, np.asarray(g, np.float64)[new]])
             src = np.concatenate(
                 [src, np.full(int(new.sum()), j, np.int64)])
         self._table, self._table_src = table, src
-
-    def _rebuild_table(self, submaps):
-        """Re-derive the online table (+ per-row source submap) from the
-        current anchors — first-seen dedup, same as incremental growth."""
-        gids, table, _ = match_submap_landmarks(
-            submaps, np.asarray([sm.anchor0 for sm in submaps]),
-            self.match_radius,
-        )
-        src = np.zeros(len(table), np.int64)
-        seen = 0
-        for j, g in enumerate(gids):
-            g = np.asarray(g, np.int64)
-            if len(g):
-                new_ids = g[g >= seen]
-                src[new_ids] = j
-                seen = max(seen, int(g.max()) + 1)
-        self._table, self._table_src = np.asarray(table), src
 
     def loop_budget(self, done) -> float:
         """Drift budget [m] accruable since the last absolute fix —
@@ -805,7 +824,7 @@ class SubmapSLAM:
         # rotation gate mirrors accept_correction's (see there): heading
         # drift accrues ~1e-4 rad/m of travel, so budget it the same way.
         if abs(_wrap(cand[2] - anchor[2])) > \
-                0.03 + 2e-4 * 0.6 * max(done - self._last_fix_done, 0):
+                0.05 + 2e-4 * 0.6 * max(done - self._last_fix_done, 0):
             return False
         corr = float(np.linalg.norm(cand[:2] - anchor[:2]))
         return corr < self.loop_budget(done) and n_in >= 12

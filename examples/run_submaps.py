@@ -42,37 +42,44 @@ def main():
     from tpuslam.config import SceneConfig, SimConfig
     from tpuslam.graph.submaps import (
         SubmapSLAM,
-        assemble_global_map,
-        optimize_anchor_graph,
+        merge_duplicates_covisibility,
+        select_backend,
     )
-    from tpuslam.sim.scene import make_grid_course, make_landmarks
+    from tpuslam.sim.scene import make_landmarks, make_survey_course
 
     scene = SceneConfig(
         xmin=0.0, xmax=args.extent, ymin=0.0, ymax=args.extent,
         n_landmarks=args.landmarks, legacy_integer_landmarks=False,
     )
-    cfg = SimConfig(scene=scene, capacity=args.cap, max_obs=48)
-    wp = make_grid_course(args.extent, max(4, int(args.extent / 55) + 1),
-                          inset=0.05)
+    cfg = SimConfig(scene=scene, capacity=args.cap, max_obs=32)
+    wp = make_survey_course(args.extent, row_spacing=35.0, inset=0.05)
     lm = make_landmarks(scene, seed=4)
     spacing = args.extent / np.sqrt(args.landmarks)
     radius = float(min(3.0, 0.4 * spacing))
 
+    # The r4 recipe: online 'align' mode (scan-to-map conformance +
+    # loop-closure probe), evaluated backend selection, assembly from
+    # the ONLINE associations, co-visibility duplicate merge.
     slam = SubmapSLAM(cfg, close_frac=0.7, chunk_epochs=64,
-                      match_radius=radius)
+                      match_radius=radius, online_mode="align",
+                      register_radius=15.0)
     run = slam.run(wp, lm, args.epochs, jax.random.key(0))
     a = run.active
     ate = ate_rmse(run.slam_pose[a], run.true_pose[a])
     print(f"{len(run.submaps)} submaps (cap {args.cap}); online ATE "
           f"{ate:.2f} m over {int(a.sum())} ticks")
 
-    prob, gids, anchors = optimize_anchor_graph(
-        run.submaps, rounds=3, iters=12, match_radius=radius,
-        init_anchors=[sm.anchor0 for sm in run.submaps],
-    )
-    gm = assemble_global_map(run.submaps, anchors, gids,
-                             int(prob.lm_mask.sum()))
-    mq = map_quality(gm, lm)
+    init = np.asarray([sm.anchor0 for sm in run.submaps])
+    name, anchors, _ = select_backend(run.submaps, init, radius,
+                                      register_radius=None)
+    print(f"global solve: {name}")
+    gm, _ = merge_duplicates_covisibility(
+        run.submaps, anchors, run.online_gids, len(run.online_table),
+        radius)
+    # Gauge-aligned scoring (standard for at-scale maps): an unobservable
+    # fraction-of-a-degree global rotation otherwise dominates the
+    # numbers (see PERF.md).
+    mq = map_quality(gm, lm, align_gauge=True)
     print(f"global map: {len(gm)} landmarks "
           f"(true {args.landmarks}, matched {mq['n_matched_true']}, "
           f"dup {mq['n_duplicates']}, spurious {mq['n_spurious']}); "

@@ -635,10 +635,45 @@ class SubmapSLAM:
             return False
         init = np.asarray([sm.anchor0 for sm in tail])
         try:
-            _, _, opt = optimize_anchor_graph(
-                tail, rounds=1, iters=12,
-                match_radius=self.match_radius, init_anchors=init,
-            )
+            if j0 == 0:
+                # Short chain: the proven whole-chain factor-GN polish.
+                _, _, opt = optimize_anchor_graph(
+                    tail, rounds=1, iters=12,
+                    match_radius=self.match_radius, init_anchors=init,
+                )
+            else:
+                # Windowed: a tail-only GN is a CANTILEVER — anchored to
+                # the frozen head only through the gauge prior on
+                # tail[0], a few wrong matches can swing the free end
+                # (measured: 60 m proposed moves, all rejected, so the
+                # banded segment got NO polish and quality decayed).
+                # Instead run consensus GPA sweeps with the frozen
+                # head's table rows (cropped to the tail's bbox) as the
+                # gauge-holding pseudo-submap 0: the tail is then
+                # anchored to the global map along its whole overlap,
+                # and the trim/damping keep the update bounded.
+                head = self._table[self._table_src < j0]
+                ctr = [se2_transform_points(sm.anchor0, sm.lm_local)
+                       for sm in tail if len(sm.lm_local)]
+                allg = np.concatenate(ctr) if ctr else np.zeros((0, 2))
+                if len(head) and len(allg):
+                    lo = allg.min(0) - 2 * self.match_radius
+                    hi = allg.max(0) + 2 * self.match_radius
+                    sel = ((head[:, 0] >= lo[0]) & (head[:, 0] <= hi[0])
+                           & (head[:, 1] >= lo[1]) & (head[:, 1] <= hi[1]))
+                    head = head[sel]
+                if len(head) < 12:
+                    return False
+                pseudo = ClosedSubmap(
+                    anchor0=np.zeros(3), lm_local=head,
+                    lm_cov=np.tile(0.01 * np.eye(2), (len(head), 1, 1)),
+                    rel_pose=np.zeros(3), rel_cov=np.eye(3) * 1e-6)
+                opt, _, _ = gpa_refine_anchors(
+                    [pseudo] + list(tail),
+                    np.concatenate([np.zeros((1, 3)), init]),
+                    match_radius=self.match_radius,
+                    register_radius=None, sweeps=8, rematch_rounds=1)
+                opt = np.asarray(opt)[1:]
         except Exception:
             return False
         opt = np.asarray(opt)

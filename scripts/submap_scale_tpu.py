@@ -101,10 +101,13 @@ def main():
                          "in-filter duplicates (reference default 30)")
     ap.add_argument("--row-spacing", type=float, default=35.0)
     ap.add_argument("--handover-inflate", type=float, default=4.0)
-    ap.add_argument("--vote-topk", type=int, default=1,
+    ap.add_argument("--vote-topk", type=int, default=6,
                     help="score the k tallest loop-probe vote peaks at a "
-                         "tight gate (de-masks alias-buried offsets; for "
-                         "courses with long unclosed loops)")
+                         "tight gate (de-masks alias-buried offsets).  "
+                         "Default 6: measured better on BOTH course "
+                         "families at 20k (survey map coverage "
+                         "0.66->0.81, RMSE 1.19->0.78; lawnmower ATE "
+                         "18.7->1.3 aligned); 1 = argmax-only")
     ap.add_argument("--budget-window", action="store_true",
                     help="clamp the loop-probe vote window to the drift "
                          "budget since the last fix")

@@ -168,6 +168,29 @@ def main():
     pf_rate, pf_ms = fastslam_throughput(cfg1, wp1, lm1, 100, n_ep3)
     log(f"[fastslam-100p] {pf_ms:.2f} ms/epoch -> {pf_rate:.0f} ticks/s")
 
+    # PF QUALITY rows (VERDICT r4 task 5): the health gate must cover
+    # FastSLAM, not just the EKF paths.  Median-of-seeds at the r4 gate
+    # settings (pf_gate_newfeat=100 is the config default); bounds sized
+    # from the 12-seed chip study (ATE 1.75-7.10 m median 3.11, spurious
+    # 20-59 on EVERY seed — PERF.md "FastSLAM accuracy") so the gate
+    # trips on a regression, not on the known chip-vs-CPU bias.
+    from tpuslam.bench.harness import fastslam_accuracy
+
+    pf_eps = 100 if args.quick else 320   # 320 covers the full course
+    pf_seeds = (11, 12) if args.quick else (11, 12, 13)
+    pf_ates, pf_spur = [], []
+    for s in pf_seeds:
+        acc = fastslam_accuracy(cfg1, wp1, lm1, 100, pf_eps, seed=s)
+        pf_ates.append(acc["ate"])
+        pf_spur.append(acc["n_spurious"])
+        log(f"  pf seed {s}: ATE {acc['ate']:.2f} m, "
+            f"landmarks {acc['n_landmarks']} "
+            f"(spurious {acc['n_spurious']}, "
+            f"coverage {acc['coverage']:.2f})")
+    pf_ate_med = float(np.median(pf_ates))
+    pf_spur_med = float(np.median(pf_spur))
+    log(f"  pf median: ATE {pf_ate_med:.2f} m, spurious {pf_spur_med:.0f}")
+
     if args.full:
         from tpuslam.bench.harness import landmark_sweep, monte_carlo_nees
 
@@ -228,17 +251,22 @@ def main():
     # choice, not an engine failure (measured: 354 mapped at 300 epochs
     # on the same code whose 930-epoch run maps 995).
     cov_gate = 0.8 if not args.quick else 0.25
+    pf_ate_gate = 15.0 if args.quick else 8.0
     healthy = bool(
         np.all(np.isfinite(ates))
         and ate < 1.5                      # median ATE
         and n_med <= 1.2 * 35              # median landmark count
         and max(ates) < 10.0               # hard divergence catch
         and n2 >= cov_gate * 1000          # config-2 course coverage
+        and np.all(np.isfinite(pf_ates))   # FastSLAM quality (task 5)
+        and pf_ate_med < pf_ate_gate
+        and pf_spur_med <= 70
     )
     if not healthy:
         log(f"  HEALTH GATE FAILED: median ATE {ate:.3f}, "
             f"median landmarks {n_med:.0f}, max ATE {max(ates):.3f}, "
-            f"1k mapped {n2}")
+            f"1k mapped {n2}, pf median ATE {pf_ate_med:.2f}, "
+            f"pf median spurious {pf_spur_med:.0f}")
     value = rate2 if healthy else 0.0
     print(json.dumps({
         "metric": "ekfslam_1k_landmark_closed_loop_ticks_per_s_1chip",

@@ -123,9 +123,11 @@ def map_quality(est_landmarks, true_landmarks, match_radius: float = 2.0,
             "coverage": 0.0,
         }
     # Native radius-NN instead of the dense (n_est, n_true) distance
-    # matrix — at 24k x 20k that matrix is ~8 GB and took 3 minutes; the
-    # decisions are identical (an estimate's nearest true landmark
-    # within match_radius, else spurious).
+    # matrix — at 24k x 20k that matrix is ~8 GB and took 3 minutes.
+    # Decisions agree except exactly AT the gate boundary (the native
+    # match is strict `<`, the old dense path was `<=`) — measure-zero
+    # in practice; don't chase golden-number drift at the boundary as a
+    # regression.
     from tpuslam.native import SpatialIndex
 
     idx = SpatialIndex(true, cell_size=max(match_radius, 1.0))

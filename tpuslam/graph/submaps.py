@@ -157,7 +157,10 @@ class SubmapSLAM:
                  online_mode: str | None = None,
                  refine_window: int = 48,
                  vote_topk: int = 1,
-                 budget_vote_window: bool = False):
+                 budget_vote_window: bool = False,
+                 place_rec: bool = True,
+                 reloc_gap: int = 3,
+                 reloc_min_inliers: int = 18):
         import jax.numpy as jnp
 
         self.cfg = cfg
@@ -239,18 +242,34 @@ class SubmapSLAM:
             os.environ.get("TPUSLAM_REFINE_WINDOW", refine_window))
         self.refine_gate = os.environ.get(
             "TPUSLAM_REFINE_GATE", "on") != "off"
-        # Loop-probe vote options, OPT-IN (for courses with long
-        # unclosed loops): topk>1 scores the k tallest vote peaks at a
-        # tight gate instead of argmax-only (de-masks true offsets that
-        # a denser alias out-votes); budget_vote_window clamps the vote
-        # window to loop_budget(done) (offsets beyond it could never be
-        # accepted).  Measured on the curated 20k survey course these
-        # UNDERPERFORM the fixed argmax probe (online ATE 6.3 vs 1.87 —
-        # the block structure already bounds the alias space there), so
-        # they default off; the un-curated perimeter/lawnmower runs are
-        # where they earn their keep.
+        # Loop-probe vote options: topk>1 scores the k tallest vote
+        # peaks at a tight gate instead of argmax-only (de-masks true
+        # offsets that a denser alias out-votes); budget_vote_window
+        # clamps the vote window to loop_budget(done).  The r4 20k A/B
+        # measured top-k BETTER on both course families (survey coverage
+        # 0.66 -> 0.81, RMSE 1.19 -> 0.78; lawnmower rescued outright),
+        # so scripts/submap_scale_tpu.py defaults --vote-topk 6; the
+        # library default stays 1 only to keep the small-course tests'
+        # pinned behavior (at test densities the argmax probe is already
+        # unambiguous).  budget_vote_window starves mid-run corrections
+        # (measured at 20k AND 100k) and stays opt-in.
         self.vote_topk = vote_topk
         self.budget_vote_window = budget_vote_window
+        # Drift-INDEPENDENT place recognition (VERDICT r4 task 1): a
+        # constellation-hash relocalizer (graph/placerec.py) probed when
+        # the windowed translation-vote loop probe finds nothing — the
+        # measured 100k failure mode is drift random-walking past every
+        # vote window that stays safe against aliases, and recognition
+        # by local landmark GEOMETRY is immune to drift by construction.
+        # Accepted relocs go through the same rubber-band + windowed-GN
+        # application as voted loops, but their acceptance gate
+        # (accept_reloc) carries NO drift budget: safety comes from
+        # rigid-consistency RANSAC dominance + full-cloud tight-gate
+        # verification against the temporally-old table segment.
+        self.place_rec = place_rec
+        self.reloc_gap = reloc_gap
+        self.reloc_min_inliers = reloc_min_inliers
+        self._constel = None
 
     def run(self, waypoints, landmarks, n_epochs: int, key) -> SubmapRun:
         import jax
@@ -260,11 +279,23 @@ class SubmapSLAM:
         from tpuslam.sim.simulator import init_sim_state, run_epochs_rng
 
         cfg, dtype = self.cfg, self.dtype
-        # Reentrancy: a second run() on the same instance must not
-        # inherit the first run's align cadence marker (done restarts at
-        # 0, so a stale _last_align would suppress early midrun aligns).
+        # Reentrancy: a second run() on the same instance must not carry
+        # ANY first-run state — a stale _last_align would suppress early
+        # midrun aligns, and a stale table/gids would make the second run
+        # match against the first run's map and return contaminated
+        # online associations (advisor r4).
         self._last_align = 0
         self._online_gids: list = []
+        self._table = np.zeros((0, 2))
+        self._table_src = np.zeros(0, np.int64)
+        self._last_fix = 0
+        self._last_fix_done = 0
+        self.trace = []
+        if self.place_rec and self.online_mode == "align":
+            from tpuslam.graph.placerec import ConstellationDB
+            self._constel = ConstellationDB()
+        else:
+            self._constel = None
         wp = jnp.asarray(waypoints, dtype)
         lm = jnp.asarray(landmarks, dtype)
         st = init_sim_state(cfg, wp, dtype=dtype)
@@ -476,6 +507,7 @@ class SubmapSLAM:
                     g = se2_transform_points(a0, sm.lm_local)
                     anchor = cand
             if self.register_radius:
+                applied = False
                 lc = self._loop_closure_probe(g, i, done=done)
                 if lc is not None:
                     th, t, n_in = lc
@@ -490,23 +522,37 @@ class SubmapSLAM:
                         "accepted": bool(ok),
                     })
                     if ok:
-                        self._rubber_band(submaps, th, t, i)
-                        if (np.hypot(*t) > 0.5 * self.match_radius
-                                and len(submaps) >= 3):
-                            # Significant loop closure: polish the whole
-                            # chain with the odometry-aware GN (the
-                            # linear rubber band is only a prior) and
-                            # rebuild the table ghost-free — BEFORE
-                            # later submaps conform to a bent ring.
-                            self._refine_chain(
-                                submaps,
-                                max_move=2.0 * float(np.hypot(*t))
-                                + 3.0 * self.match_radius)
-                        sm = submaps[-1]
-                        g = se2_transform_points(sm.anchor0, sm.lm_local)
-                        anchor = se2_compose(sm.anchor0, sm.rel_pose)
-                        self._last_fix = i
-                        self._last_fix_done = done
+                        sm, g, anchor = self._apply_loop(
+                            submaps, th, t, i, done)
+                        applied = True
+                if self._constel is not None:
+                    # The drift-independent relocalizer probes at EVERY
+                    # closure — not only when the windowed vote fails:
+                    # a drifted chain often "succeeds" locally by
+                    # conforming to its own ghost branch (measured:
+                    # 0.0 m loop corrections at 100 inliers while true
+                    # error sat at 13 m), so local acceptance is no
+                    # evidence of global placement.  The probe's
+                    # dominance test makes it a no-op when placement is
+                    # already right.
+                    rl = self._reloc_probe(
+                        submaps, np.asarray(sm.lm_local, np.float64),
+                        g, i, done)
+                    if rl is not None:
+                        th, t, n_in = rl
+                        cand = _se2_apply_to_pose(th, t, anchor)
+                        ok = self.accept_reloc(cand, anchor, n_in)
+                        self.trace.append({
+                            "closure": len(submaps), "n_epochs": done,
+                            "corr_m": float(np.linalg.norm(
+                                cand[:2] - anchor[:2])),
+                            "corr_rad": float(_wrap(cand[2] - anchor[2])),
+                            "n_inliers": int(n_in), "reloc": True,
+                            "accepted": bool(ok),
+                        })
+                        if ok:
+                            sm, g, anchor = self._apply_loop(
+                                submaps, th, t, i, done)
         if len(g):
             if len(self._table):
                 idx = SpatialIndex(self._table,
@@ -522,9 +568,135 @@ class SubmapSLAM:
                 [self._table, np.asarray(g, np.float64)[new]])
             self._table_src = np.concatenate(
                 [self._table_src, np.full(int(new.sum()), i, np.int64)])
+            if self._constel is not None:
+                # Index the MINTED rows' constellations (each physical
+                # landmark enters the recognizer once, from its first
+                # observer); neighbors come from the full local cloud.
+                # Local-frame points: descriptors are rigid-invariant,
+                # so later anchor updates never stale the db.
+                self._constel.add_submap(
+                    i, np.asarray(sm.lm_local, np.float64),
+                    index_mask=new)
         else:
             self._online_gids.append(np.zeros(0, np.int64))
         return anchor
+
+    def _apply_loop(self, submaps, th, t, i, done):
+        """Apply an accepted loop/reloc correction for closed submap `i`
+        (the chain tail): rubber-band the drifted segment, GN-polish a
+        significant closure, and mark the absolute fix.  Returns the
+        refreshed (sm, g, anchor) for the caller."""
+        self._rubber_band(submaps, th, t, i)
+        if (np.hypot(*t) > 0.5 * self.match_radius
+                and len(submaps) >= 3):
+            # Significant loop closure: polish the chain tail with the
+            # odometry-aware GN (the linear rubber band is only a
+            # prior) and rebuild the table ghost-free — BEFORE later
+            # submaps conform to a bent ring.
+            self._refine_chain(
+                submaps,
+                max_move=2.0 * float(np.hypot(*t))
+                + 3.0 * self.match_radius)
+        sm = submaps[-1]
+        g = se2_transform_points(sm.anchor0, sm.lm_local)
+        anchor = se2_compose(sm.anchor0, sm.rel_pose)
+        self._last_fix = i
+        self._last_fix_done = done
+        return sm, g, anchor
+
+    def _reloc_probe(self, submaps, loc, g, i, done):
+        """Drift-independent relocalization of one submap cloud.
+
+        loc: (n, 2) local-frame landmarks; g: the same cloud at the
+        CURRENT global placement (the thing a correction applies to).
+        Queries the constellation db for (query -> db landmark)
+        correspondence candidates among submaps closed >= reloc_gap ago,
+        fits the largest rigid-consistent subset (placerec.ransac_se2),
+        and verifies the implied correction against the temporally-old
+        table segment at a tight gate — acceptance requires the
+        corrected cloud to register DECISIVELY better than the current
+        placement does.  Returns (theta, t, n_verified) or None.
+
+        No drift budget anywhere: this is the candidate source for
+        exactly the corrections the budget-windowed vote cannot reach
+        (the measured 100k blocker, PERF.md 'joined pipeline')."""
+        from tpuslam.native import SpatialIndex
+
+        db = self._constel
+        src_max = i - self.reloc_gap + 1
+        if db is None or src_max <= 0 or len(g) < 12:
+            return None
+        q_idx, src, lidx, votes = db.query(loc, src_max=src_max)
+        if len(q_idx) < self.reloc_min_inliers:
+            return None
+        from tpuslam.graph.placerec import ransac_se2
+
+        # Target positions from the CURRENT anchor estimates (votes
+        # reference (src, local-idx), so table rebuilds never dangle).
+        submaps_ref = submaps
+        tgt = np.empty((len(q_idx), 2))
+        for s in np.unique(src):
+            m = src == s
+            tgt[m] = se2_transform_points(
+                submaps_ref[int(s)].anchor0,
+                np.asarray(submaps_ref[int(s)].lm_local)[lidx[m]])
+        res = ransac_se2(np.asarray(g, np.float64)[q_idx], tgt,
+                         weights=votes.astype(np.float64),
+                         min_inliers=max(8, self.reloc_min_inliers // 2))
+        if res is None:
+            return None
+        th, t, mask, n_second = res
+        n_in = int(mask.sum())
+        # Ambiguity: a second distinct rigid hypothesis explaining a
+        # comparable share of the candidates means aliasing — abstain.
+        if n_second > 0.5 * n_in:
+            return None
+        # Net correction implied for the cloud (evaluated at its
+        # centroid; the origin-frame t alone is lever-arm-amplified).
+        cen = np.asarray(g, np.float64).mean(0)
+        c, s_ = np.cos(th), np.sin(th)
+        moved = np.hypot(c * cen[0] - s_ * cen[1] + t[0] - cen[0],
+                         s_ * cen[0] + c * cen[1] + t[1] - cen[1])
+        if moved < 0.5 * self.match_radius:
+            return None  # already in place — stage-1 conformance owns it
+        # Verification: tight-gate registration of the WHOLE cloud
+        # against the temporally-old table rows, corrected vs current.
+        old = self._table_src <= i - self.reloc_gap
+        if old.sum() < self.reloc_min_inliers:
+            return None
+        pts_old = self._table[old]
+        gg = np.asarray(g, np.float64) @ np.array(
+            [[c, s_], [-s_, c]]) + t
+        sg = min(self.match_radius, 1.0)
+        pad = 2.0 * self.match_radius
+
+        def _hits(cloud):
+            lo, hi = cloud.min(0) - pad, cloud.max(0) + pad
+            sel = ((pts_old[:, 0] >= lo[0]) & (pts_old[:, 0] <= hi[0])
+                   & (pts_old[:, 1] >= lo[1]) & (pts_old[:, 1] <= hi[1]))
+            if sel.sum() == 0:
+                return 0
+            idx = SpatialIndex(pts_old[sel], cell_size=max(sg, 1.0))
+            return int((idx.match(cloud, sg) >= 0).sum())
+
+        hs = _hits(gg)
+        h0 = _hits(np.asarray(g, np.float64))
+        if hs < max(self.reloc_min_inliers, 1.5 * h0 + 8):
+            return None
+        return float(th), t, hs
+
+    def accept_reloc(self, cand, anchor, n_in) -> bool:
+        """Acceptance gate for place-recognition corrections.  Unlike
+        accept_loop there is NO drift budget (the probe exists for
+        corrections beyond it); safety comes from the probe's own
+        dominance + verification tests.  The rotation bound only
+        excludes the physically impossible (heading drift accrues
+        ~1e-4 rad/m; 0.5 rad would be ~5 km un-fixed travel)."""
+        if not np.isfinite(cand).all():
+            return False
+        if abs(_wrap(cand[2] - anchor[2])) > 0.5:
+            return False
+        return n_in >= self.reloc_min_inliers
 
     def _midrun_align(self, st, anchor, i, done, submaps, n=None,
                       x_host=None):
@@ -916,8 +1088,11 @@ class SubmapSLAM:
                 return x, P
 
             self._seed_fn = build
-        return self._seed_fn(jnp.asarray(seeds, jnp.float32),
-                             jnp.asarray(covs, jnp.float32),
+        # Transfer at self.dtype (the f64 CPU spec path must not round
+        # the handover seeds through f32 — advisor r4); the jitted
+        # builder casts down only when dtype is narrower.
+        return self._seed_fn(jnp.asarray(seeds, self.dtype),
+                             jnp.asarray(covs, self.dtype),
                              jnp.asarray(k, jnp.int32))
 
     def _close(self, st, anchor, submaps, dtype, n=None):

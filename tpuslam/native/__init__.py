@@ -24,9 +24,11 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libtpuslam_native.so")
 
 
 def _load():
-    src = os.path.join(_NATIVE_DIR, "spatial_index.cc")
-    stale = (os.path.exists(_SO_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    srcs = [os.path.join(_NATIVE_DIR, f)
+            for f in ("spatial_index.cc", "constellation.cc")]
+    stale = os.path.exists(_SO_PATH) and any(
+        os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_SO_PATH)
+        for s in srcs)
     if not os.path.exists(_SO_PATH) or stale:
         try:
             subprocess.run(
@@ -77,6 +79,24 @@ def _load():
         ctypes.c_double, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64,
+    ]
+    lib.tpuslam_constel_new.restype = ctypes.c_void_p
+    lib.tpuslam_constel_new.argtypes = [
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.tpuslam_constel_free.argtypes = [ctypes.c_void_p]
+    lib.tpuslam_constel_entries.restype = ctypes.c_int64
+    lib.tpuslam_constel_entries.argtypes = [ctypes.c_void_p]
+    lib.tpuslam_constel_add.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.tpuslam_constel_query.restype = ctypes.c_int64
+    lib.tpuslam_constel_query.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     return lib
 

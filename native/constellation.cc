@@ -110,11 +110,14 @@ void tpuslam_constel_add(void* handle, const double* pts, int64_t n,
 
 // Query: votes for (query_center -> db value) pairs over the
 // 27-neighborhood of each query triangle key, db entries with
-// src < src_max only.  Outputs the >= min_votes pairs (votes desc, key
-// asc), capped at cap.  Returns the emitted count.
+// src < src_max AND src outside [skip_lo, skip_hi] only (the skip range
+// is the caller's leave-self-out window; pass skip_lo > skip_hi to
+// disable).  Outputs the >= min_votes pairs (votes desc, key asc),
+// capped at cap.  Returns the emitted count.
 int64_t tpuslam_constel_query(void* handle, const double* pts, int64_t n,
                               int64_t src_max, int64_t min_votes,
-                              int64_t cap, int64_t* out_q,
+                              int64_t cap, int64_t skip_lo,
+                              int64_t skip_hi, int64_t* out_q,
                               int64_t* out_src, int64_t* out_lidx,
                               int64_t* out_votes) {
   auto* h = static_cast<ConstelDB*>(handle);
@@ -122,6 +125,9 @@ int64_t tpuslam_constel_query(void* handle, const double* pts, int64_t n,
   std::vector<int64_t> centers(n);
   for (int64_t i = 0; i < n; ++i) centers[i] = i;
   const int64_t src_lim = src_max << 12;
+  const int64_t lo_lim = skip_lo << 12;
+  const int64_t hi_lim = (skip_hi + 1) << 12;
+  const bool has_skip = skip_lo <= skip_hi;
   // Vote pairs are overwhelmingly random-collision singletons; counting
   // them all in a hash map is the measured cost.  Two passes instead:
   // (1) collect pairs + approximate counts in a flat saturating array
@@ -139,7 +145,8 @@ int64_t tpuslam_constel_query(void* handle, const double* pts, int64_t n,
                                    + int64_t(dy) * (1 << 10) + dx);
               if (it == h->db.end()) continue;
               for (int64_t v : it->second)
-                if (v < src_lim) pairs.push_back((qc << 38) | v);
+                if (v < src_lim && !(has_skip && v >= lo_lim && v < hi_lim))
+                  pairs.push_back((qc << 38) | v);
             }
       });
   constexpr int kBits = 22;

@@ -111,6 +111,9 @@ def main():
     ap.add_argument("--budget-window", action="store_true",
                     help="clamp the loop-probe vote window to the drift "
                          "budget since the last fix")
+    ap.add_argument("--no-pgo", action="store_true",
+                    help="skip the assembly-stage constellation-PGO "
+                         "unbend (r5 default on)")
     ap.add_argument("--max-epochs", type=int, default=120000,
                     help="epoch-budget ceiling; a survey course at extent "
                          "E needs ~E^2/(row_spacing*0.6) epochs — raise "
@@ -262,6 +265,26 @@ def main():
     init = np.asarray([sm.anchor0 for sm in run.submaps])
     log = (lambda m: print(f"# {m}", file=sys.stderr, flush=True))
     anchors = init
+    # Assembly-stage unbend (r5): constellation loop edges + SE(2) PGO
+    # over the anchor chain.  The online corrector can only conform the
+    # chain HEAD; early drift baked into the table before the first
+    # revisit leaves the chain smoothly bent, which no assembly-side
+    # matching can recover (measured 20k worst seed: coverage 0.38
+    # online / 0.39 re-match / 0.98 after PGO).  No-op on clean chains
+    # (edges then agree with the anchors already).
+    pgo_moved = 0.0
+    if not args.no_pgo and len(run.submaps) >= 4:
+        from tpuslam.graph.pgo import pgo_unbend
+
+        t_pgo = time.time()
+        anchors, n_edges = pgo_unbend(run.submaps, init, radius, log=log)
+        pgo_moved = float(np.linalg.norm(
+            (anchors - init)[:, :2], axis=1).max())
+        print(json.dumps({
+            "stage": "pgo", "n_edges": int(n_edges),
+            "max_anchor_move_m": round(pgo_moved, 2),
+            "t_pgo_s": round(time.time() - t_pgo, 1),
+        }), flush=True)
     # Translation voting in the BACKEND matching is only for chains whose
     # drift exceeds the match gate (dead-reckoned modes).  On an
     # online-aligned chain it is pure downside — measured on the 2k chip
@@ -305,14 +328,21 @@ def main():
     # 2.1 m yet re-matched coverage 0.39).  Associations are
     # anchor-independent, so they remain valid under solver-refined
     # anchors.  Fall back to re-matching for non-align runs.
-    if getattr(run, "online_gids", None) is not None:
+    if getattr(run, "online_gids", None) is not None \
+            and pgo_moved <= radius:
+        # Clean chain: the ONLINE associations (made when relative drift
+        # was near zero) remain the best source (r4 lesson).
         gids, table = run.online_gids, run.online_table
         anchors = np.asarray(anchors)
         log("assembly: online associations")
     else:
+        # The PGO moved anchors past the gate — the online table carries
+        # that drift's ghosts; a fresh NN re-match at the REPAIRED
+        # anchors is measured better on exactly these runs (20k worst
+        # seed: online gids 0.93 coverage / re-match 0.98).
         gids, table, anchors = match_submap_landmarks(
             run.submaps, anchors, radius, register_radius=reg_backend)
-        log("assembly: offline re-match")
+        log("assembly: offline re-match at repaired anchors")
     t_ba = time.time() - t0
     gm = assemble_global_map(run.submaps, anchors, gids, len(table))
     if args.merge == "covis":

@@ -47,7 +47,7 @@ def pose_nees(slam_pose, true_pose, P_pose) -> np.ndarray:
 
 
 def gauge_align_se2(est_points, true_points, radius: float = 2.0,
-                    iters: int = 3):
+                    iters: int = 64):
     """One GLOBAL SE(2) aligning an estimated point set onto truth.
 
     SLAM's gauge freedom: only pose 0 is pinned (the prior), so the
@@ -72,11 +72,25 @@ def gauge_align_se2(est_points, true_points, radius: float = 2.0,
     idx = SpatialIndex(true, cell_size=max(radius, 1.0))
     cur = est.copy()
     Rc, tc = np.eye(2), np.zeros(2)
-    for _ in range(max(iters, 1)):
-        m = idx.match(cur, radius)
+    # Coarse-to-fine ICP, MANY iterations: a pure gauge rotation
+    # displaces far-from-pivot points by several gates (0.75 deg x
+    # 800 m = 10 m), so matching at the final gate alone never captures
+    # them; and because coarse-radius NN pairs are mostly wrong, each
+    # Kabsch step recovers only a FRACTION of the remaining rotation
+    # (regression dilution) — convergence is geometric in iterations,
+    # not one-shot (measured on an internally-sub-meter 20k map:
+    # 8 iters recovered th=-0.001 of a true 0.0130 gauge, coverage
+    # 0.50; 64 iters recovered 0.0131 exactly, coverage 0.99).  Each
+    # iteration is one native NN pass — microseconds per thousand
+    # points; the SCORING gate itself is unchanged.
+    n_it = max(iters, 1)
+    radii = np.geomspace(max(radius, 4.0 * radius), radius, n_it) \
+        if n_it > 1 else [radius]
+    for r in radii:
+        m = idx.match(cur, float(r))
         ok = m >= 0
         if ok.sum() < 3:
-            break
+            continue
         th, t = fit_se2(cur[ok], true[m[ok]])
         c, s = np.cos(th), np.sin(th)
         R = np.array([[c, -s], [s, c]])

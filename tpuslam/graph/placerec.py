@@ -167,7 +167,7 @@ class ConstellationDB:
         self.n_entries += len(keys)
 
     def query(self, pts_local, src_max: int, min_votes: int = 3,
-              max_candidates: int = 400):
+              max_candidates: int = 400, src_skip=None):
         """Correspondence candidates for a query cloud.
 
         Looks up every query triangle under its own bin AND the +-1
@@ -178,8 +178,13 @@ class ConstellationDB:
         (the caller's temporal gap — a submap must not recognize its own
         recent neighborhood).
 
+        `src_skip`: optional (lo, hi) inclusive range of source submaps
+        to EXCLUDE (the leave-self-out window of the offline reconcile
+        pass; the online probe uses src_max alone).
+
         Returns (q_idx (C,), src (C,), lidx (C,), votes (C,)).
         """
+        lo, hi = src_skip if src_skip is not None else (1, 0)
         empty = (np.zeros(0, np.int64),) * 4
         pts = np.ascontiguousarray(pts_local, np.float64).reshape(-1, 2)
         if self._handle is not None:
@@ -191,7 +196,7 @@ class ConstellationDB:
             n_out = self._lib.tpuslam_constel_query(
                 self._handle,
                 pts.ctypes.data_as(ct.POINTER(ct.c_double)), len(pts),
-                int(src_max), int(min_votes), cap,
+                int(src_max), int(min_votes), cap, int(lo), int(hi),
                 *[o.ctypes.data_as(ct.POINTER(ct.c_int64)) for o in out])
             return tuple(o[:n_out].copy() for o in out)
         if len(pts) < 3 or not self._db:
@@ -230,6 +235,9 @@ class ConstellationDB:
         qc_rep = np.repeat(np.asarray(hit_q, np.int64),
                            np.asarray(hit_len))
         keepv = v < src_lim
+        if lo <= hi:
+            keepv &= (v < (np.int64(lo) << 12)) | (v >= (np.int64(hi + 1)
+                                                         << 12))
         if not keepv.any():
             return empty
         pairs = (qc_rep[keepv] << 38) | v[keepv]

@@ -1436,6 +1436,155 @@ def align_refine_anchors(submaps, anchors, *, match_radius: float = 2.0,
     return anchors
 
 
+def reconcile_anchors(submaps, anchors, match_radius: float, *,
+                      sweeps: int = 3, gap: int = 2,
+                      min_inliers: int = 18, register_radius: float = 12.0,
+                      tol: float = 0.05, log=None):
+    """Offline global re-registration of a bent / ghost-branched chain —
+    the assembly-stage counterpart of the online constellation reloc
+    (VERDICT r4 tasks 1-2).
+
+    The online corrector can only conform the chain HEAD; segments whose
+    drift was baked into the table before a loop closed stay bent, and a
+    revisit that failed to relocalize leaves a ghost branch.  No
+    assembly-side MATCHING can recover that (measured on a bent 20k run:
+    online gids coverage 0.38, plain re-match 0.39, vote re-match 0.40)
+    because the ANCHORS are wrong.  This pass fixes the anchors: each
+    sweep re-registers every submap INDIVIDUALLY against the union of
+    all others (leave-self-out +- gap, so handover-shared landmarks
+    cannot self-confirm), by
+
+      * NN + translation-vote alignment for in-window displacement
+        (align_submap_to_table), and
+      * constellation relocalization (graph/placerec.py) for submaps
+        beyond any vote window — accepted on tight-gate verification
+        DOMINANCE over the current placement (h_move >= 1.5 h_stay + 8),
+        which is also what dissolves ghost branches: a minority-branch
+        submap's move onto the majority branch strictly dominates
+        staying.
+
+    Submap 0 holds the gauge.  Returns the reconciled anchors; derive
+    gids/table with match_submap_landmarks afterwards."""
+    from tpuslam.graph.placerec import ConstellationDB, ransac_se2
+    from tpuslam.native import SpatialIndex
+
+    anchors = np.asarray(anchors, np.float64).reshape(-1, 3).copy()
+    S = len(submaps)
+    loc = [np.asarray(sm.lm_local, np.float64).reshape(-1, 2)
+           for sm in submaps]
+    # First-observer-only indexing (same as the online db): indexing
+    # every observation of every landmark multiplies bucket density by
+    # the mean observation count and blew the per-submap query to ~9 s
+    # at 20k; first-seen keeps it in the tens of ms at identical recall
+    # (the revisit query still carries the full cloud).
+    gids0, _, _ = match_submap_landmarks(submaps, anchors, match_radius)
+    n_table0 = 1 + max((int(np.max(g)) for g in gids0 if len(g)),
+                       default=0)
+    seen = np.zeros(n_table0, bool)
+    db = ConstellationDB()
+    for i in range(S):
+        if not len(loc[i]):
+            continue
+        ids = np.asarray(gids0[i], np.int64)
+        mask = ~seen[ids]
+        seen[ids] = True
+        db.add_submap(i, loc[i], index_mask=mask)
+    sg = min(match_radius, 1.0)
+
+    for sweep in range(max(sweeps, 1)):
+        G = [se2_transform_points(anchors[i], loc[i]) for i in range(S)]
+        sizes = np.array([len(g) for g in G])
+        allp = (np.concatenate([g for g in G if len(g)])
+                if sizes.sum() else np.zeros((0, 2)))
+        src = np.repeat(np.arange(S), sizes)
+        moved_total = 0.0
+        n_nn = n_reloc = 0
+        for i in range(1, S):
+            g = G[i]
+            if len(g) < min_inliers:
+                continue
+            excl = (src < i - gap) | (src > i + gap)
+
+            def _hits(cloud, pad=2.0 * match_radius):
+                lo, hi = cloud.min(0) - pad, cloud.max(0) + pad
+                sel = (excl & (allp[:, 0] >= lo[0]) & (allp[:, 0] <= hi[0])
+                       & (allp[:, 1] >= lo[1]) & (allp[:, 1] <= hi[1]))
+                if sel.sum() == 0:
+                    return 0, sel
+                idx = SpatialIndex(allp[sel], cell_size=max(sg, 1.0))
+                return int((idx.match(cloud, sg) >= 0).sum()), sel
+
+            # Stage 1: in-window NN + vote alignment against the others.
+            pad = register_radius + 2 * match_radius
+            lo, hi = g.min(0) - pad, g.max(0) + pad
+            sel = (excl & (allp[:, 0] >= lo[0]) & (allp[:, 0] <= hi[0])
+                   & (allp[:, 1] >= lo[1]) & (allp[:, 1] <= hi[1]))
+            if sel.sum() >= min_inliers:
+                res = align_submap_to_table(
+                    g, allp[sel], match_radius,
+                    register_radius=register_radius, topk=4,
+                    min_matches=min_inliers)
+                if res is not None:
+                    th, t, _ = res
+                    cand = _se2_apply_to_pose(th, t, anchors[i])
+                    if (np.isfinite(cand).all()
+                            and abs(_wrap(cand[2] - anchors[i][2])) < 0.2):
+                        c_, s_ = np.cos(th), np.sin(th)
+                        gg = g @ np.array([[c_, s_], [-s_, c_]]) + t
+                        d = float(np.linalg.norm(
+                            gg.mean(0) - g.mean(0)))
+                        if d > 0.05:
+                            h0, _ = _hits(g)
+                            hm, _ = _hits(gg)
+                            if hm > max(1.2 * h0, h0 + 4):
+                                anchors[i] = cand
+                                G[i] = g = gg
+                                moved_total += d
+                                n_nn += 1
+            # Stage 2: constellation reloc for beyond-window placement /
+            # ghost-branch resolution.
+            q_idx, qsrc, qlidx, votes = db.query(
+                loc[i], src_max=S, src_skip=(max(i - gap, 0), i + gap))
+            if len(q_idx) < min_inliers:
+                continue
+            tgt = np.empty((len(q_idx), 2))
+            for s2 in np.unique(qsrc):
+                m = qsrc == s2
+                tgt[m] = se2_transform_points(
+                    anchors[int(s2)], loc[int(s2)][qlidx[m]])
+            res = ransac_se2(g[q_idx], tgt,
+                             weights=votes.astype(np.float64),
+                             min_inliers=max(8, min_inliers // 2))
+            if res is None:
+                continue
+            th, t, mask, n_second = res
+            cand = _se2_apply_to_pose(th, t, anchors[i])
+            if not np.isfinite(cand).all() \
+                    or abs(_wrap(cand[2] - anchors[i][2])) > 0.5:
+                continue
+            c_, s_ = np.cos(th), np.sin(th)
+            gg = g @ np.array([[c_, s_], [-s_, c_]]) + t
+            d = float(np.linalg.norm(gg.mean(0) - g.mean(0)))
+            if d < 0.5 * match_radius:
+                continue
+            # Verification DOMINANCE over staying put (no abstention on
+            # a near-identity second hypothesis: stay-vs-move is exactly
+            # the test).
+            h0, _ = _hits(g)
+            hm, _ = _hits(gg)
+            if hm >= max(min_inliers, 1.5 * h0 + 8):
+                anchors[i] = cand
+                G[i] = gg
+                moved_total += d
+                n_reloc += 1
+        if log:
+            log(f"reconcile sweep {sweep}: nn={n_nn} reloc={n_reloc} "
+                f"moved={moved_total:.1f} m")
+        if moved_total < tol:
+            break
+    return anchors
+
+
 # ------------------------------------------------- anchor-graph assembly
 
 def _discriminative_matches(idx_obj, table, g, idx, radius: float,

@@ -83,14 +83,26 @@ def predict_particles(st: PFState, speed, gamma, Q, wheelbase, dt, key,
     consumes bit-identical proposal noise to the single-chip run."""
     Np = st.poses.shape[0]
     dtype = st.poses.dtype
+    # The broadcast of sig MUST be explicit: the axon TPU backend
+    # miscompiles the fused diag-gather -> stack -> broadcast-multiply
+    # pattern (`eps * sig` with sig = sqrt(stack([Q[0,0], Q[1,1]])))
+    # into a program whose SECOND COLUMN IS ZERO — i.e. every particle
+    # silently received zero steering noise on the chip.  This was the
+    # entire r4 "chip-vs-CPU PF bias" open finding (12-seed chip-worse
+    # separation, flat weights at Neff ~44, ghost minting): no heading
+    # diversity in the proposal.  Repro: x * sqrt(stack([d[0,0],
+    # d[1,1]])) of a jnp.diag matrix -> col1 zeros on TPU, exact on CPU;
+    # jnp.broadcast_to sidesteps the bad fusion (scripts/chip_canary.py
+    # guards the pattern on real hardware).
     sig = jnp.sqrt(jnp.stack([Q[0, 0], Q[1, 1]])).astype(dtype)
     if n_total is None:
-        eps = jax.random.normal(key, (Np, 2), dtype) * sig
+        eps = jax.random.normal(key, (Np, 2), dtype) \
+            * jnp.broadcast_to(sig, (Np, 2))
     else:
         eps_all = jax.random.normal(key, (n_total, 2), dtype)
         eps = lax.dynamic_slice(
             eps_all, (offset, jnp.zeros_like(offset)), (Np, 2)
-        ) * sig
+        ) * jnp.broadcast_to(sig, (Np, 2))
     v_p = speed + eps[:, 0]
     g_p = gamma + eps[:, 1]
     poses = jax.vmap(
@@ -174,8 +186,17 @@ def _particle_measurement(pose, fm, fP, n, cnt, z, z_mask, R, gate1, gate2,
     slots = jnp.arange(cap)
     Esel = (idf[:, None] == slots[None, :]).astype(dtype)   # (nz, cap)
 
+    # EVERY one-hot mask-reduce below is an explicit einsum pinned to
+    # HIGHEST precision: written as (mask * x).sum(), XLA's algebraic
+    # simplifier rewrites mul+reduce into dot_general, which the TPU
+    # runs in bf16 by default — rounding ~100 m feature coordinates by
+    # up to ~0.25 m.  That noise was the measured chip-vs-CPU PF bias
+    # (paired-tape replay: chip Neff ~44 vs CPU ~27 and 60+ minted
+    # slots vs 34 on every seed; the r4 12-seed chip-worse-than-CPU
+    # separation).  estimate_pose pins the same pattern for the same
+    # reason.
     def gather(xc):                      # (cap,) -> (nz,) via mask-reduce
-        return (Esel * xc[None, :]).sum(-1)
+        return jnp.einsum("oc,c->o", Esel, xc, precision=_HI)
 
     p00a, p01a, p11a = fP[:, 0, 0], fP[:, 0, 1], fP[:, 1, 1]
     fx = gather(fm[:, 0])
@@ -226,14 +247,18 @@ def _particle_measurement(pose, fm, fP, n, cnt, z, z_mask, R, gate1, gate2,
     # the same feature in one epoch (accepted approximation of the
     # unspecified reference behavior; both likelihoods still weigh in).
     Em = Esel * matched[:, None].astype(dtype)              # (nz, cap)
+
+    def scatter(mask, xo):               # (nz,) -> (cap,) via mask-reduce
+        return jnp.einsum("oc,o->c", mask, xo, precision=_HI)
+
     fm = fm + jnp.stack(
-        [(Em * dm0[:, None]).sum(0), (Em * dm1[:, None]).sum(0)], axis=-1
+        [scatter(Em, dm0), scatter(Em, dm1)], axis=-1
     )
     hit = Em.sum(0) > 0
     F = Em * (jnp.cumsum(Em, axis=0) < 1.5)                 # first match
-    q00 = (F * pn00[:, None]).sum(0)
-    q01 = (F * pn01[:, None]).sum(0)
-    q11 = (F * pn11[:, None]).sum(0)
+    q00 = scatter(F, pn00)
+    q01 = scatter(F, pn01)
+    q11 = scatter(F, pn11)
 
     # Weight: product of matched-observation likelihoods N(v; 0, S).
     quad = i00 * v0 * v0 + 2.0 * i01 * v0 * v1 + i11 * v1 * v1
@@ -258,15 +283,15 @@ def _particle_measurement(pose, fm, fP, n, cnt, z, z_mask, R, gate1, gate2,
     w11 = gr10 * g10 + gr11 * g11
     En = ((pos[:, None] == slots[None, :]) & ok[:, None]).astype(dtype)
     fm = fm + jnp.stack(
-        [(En * (pose[0] + r * c)[:, None]).sum(0),
-         (En * (pose[1] + r * s)[:, None]).sum(0)], axis=-1
+        [scatter(En, pose[0] + r * c),
+         scatter(En, pose[1] + r * s)], axis=-1
     )
     hit_n = En.sum(0) > 0
-    q00 = jnp.where(hit_n, (En * w00[:, None]).sum(0),
+    q00 = jnp.where(hit_n, scatter(En, w00),
                     jnp.where(hit, q00, p00a))
-    q01 = jnp.where(hit_n, (En * w01[:, None]).sum(0),
+    q01 = jnp.where(hit_n, scatter(En, w01),
                     jnp.where(hit, q01, p01a))
-    q11 = jnp.where(hit_n, (En * w11[:, None]).sum(0),
+    q11 = jnp.where(hit_n, scatter(En, w11),
                     jnp.where(hit, q11, p11a))
     fP = jnp.stack(
         [jnp.stack([q00, q01], -1), jnp.stack([q01, q11], -1)], -2

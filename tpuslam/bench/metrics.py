@@ -84,18 +84,78 @@ def gauge_align_se2(est_points, true_points, radius: float = 2.0,
     # iteration is one native NN pass — microseconds per thousand
     # points; the SCORING gate itself is unchanged.
     n_it = max(iters, 1)
-    radii = np.geomspace(max(radius, 4.0 * radius), radius, n_it) \
-        if n_it > 1 else [radius]
-    for r in radii:
-        m = idx.match(cur, float(r))
-        ok = m >= 0
-        if ok.sum() < 3:
-            continue
-        th, t = fit_se2(cur[ok], true[m[ok]])
-        c, s = np.cos(th), np.sin(th)
-        R = np.array([[c, -s], [s, c]])
-        cur = cur @ R.T + t
-        Rc, tc = R @ Rc, R @ tc + t
+
+    def icp(cur, Rc, tc):
+        radii = np.geomspace(max(radius, 4.0 * radius), radius, n_it) \
+            if n_it > 1 else [radius]
+        for r in radii:
+            m = idx.match(cur, float(r))
+            ok = m >= 0
+            if ok.sum() < 3:
+                continue
+            th, t = fit_se2(cur[ok], true[m[ok]])
+            c, s = np.cos(th), np.sin(th)
+            R = np.array([[c, -s], [s, c]])
+            cur = cur @ R.T + t
+            Rc, tc = R @ Rc, R @ tc + t
+        return cur, Rc, tc
+
+    cur, Rc, tc = icp(cur, Rc, tc)
+    hit = float((idx.match(cur, radius) >= 0).mean())
+    if hit < 0.5 and len(true) >= 200 and len(est) >= 60:
+        # ICP stalled — the gauge rotation displaces the far field past
+        # the coarse capture radius (measured: a 20k map whose anchors
+        # sat 0.25 m p50 from truth scored coverage 0.32 because the
+        # aligner returned th=0.000).  Bootstrap with constellation
+        # registration (rotation/translation-invariant): register a few
+        # local disks of the estimate onto the tiled truth field, keep
+        # the hypothesis that registers the whole map best, then ICP
+        # from there.  Scoring-side only; the gate is unchanged.
+        from tpuslam.graph.placerec import ConstellationDB, ransac_se2
+
+        db = ConstellationDB()
+        tiles = []
+        ext_lo, ext_hi = true.min(0), true.max(0)
+        span = np.maximum(ext_hi - ext_lo, 1.0)
+        n_tile = int(np.clip(np.sqrt(len(true) / 300.0), 1, 12))
+        tw = span / n_tile
+        tid = 0
+        for tx in range(n_tile):
+            for ty in range(n_tile):
+                lo = ext_lo + np.array([tx, ty]) * tw - 15.0
+                hi = ext_lo + np.array([tx + 1, ty + 1]) * tw + 15.0
+                sel = ((true[:, 0] >= lo[0]) & (true[:, 0] < hi[0])
+                       & (true[:, 1] >= lo[1]) & (true[:, 1] < hi[1]))
+                if sel.sum() >= 3:
+                    tiles.append(np.nonzero(sel)[0])
+                    db.add_submap(tid, true[sel])
+                    tid += 1
+        rng = np.random.default_rng(0)
+        best = (hit, cur, Rc, tc)
+        for _ in range(6):
+            c0 = est[rng.integers(len(est))]
+            sub = est[np.linalg.norm(est - c0, axis=1) < 60.0]
+            if len(sub) < 30:
+                continue
+            qi, src, lidx, votes = db.query(sub, src_max=tid)
+            if len(qi) < 12:
+                continue
+            tgt = np.stack([true[tiles[s][l]]
+                            for s, l in zip(src, lidx)])
+            res = ransac_se2(sub[qi], tgt,
+                             weights=votes.astype(np.float64),
+                             min_inliers=10)
+            if res is None:
+                continue
+            th, t, _, _ = res
+            c, s = np.cos(th), np.sin(th)
+            R = np.array([[c, -s], [s, c]])
+            cand = est @ R.T + t
+            cand, Rb, tb = icp(cand, R, t.copy())
+            h = float((idx.match(cand, radius) >= 0).mean())
+            if h > best[0]:
+                best = (h, cand, Rb, tb)
+        _, cur, Rc, tc = best
     return cur, float(np.arctan2(Rc[1, 0], Rc[0, 0])), tc
 
 

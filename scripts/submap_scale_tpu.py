@@ -295,8 +295,11 @@ def main():
     if args.solver == "auto":
         from tpuslam.graph.submaps import select_backend
 
+        # Candidates start from the PGO-repaired anchors (measured on
+        # the 20k worst seed: pgo 0.571 m RMSE -> pgo+gpa 0.462 at
+        # coverage 0.977 -> 0.981 — the consensus polish composes).
         solver_used, anchors, report = select_backend(
-            run.submaps, init, radius, register_radius=reg_backend,
+            run.submaps, anchors, radius, register_radius=reg_backend,
             chunk=args.ba_chunk, log=log)
         print(json.dumps({"stage": "solver_select",
                           "picked": solver_used,

@@ -114,16 +114,24 @@ void tpuslam_constel_add(void* handle, const double* pts, int64_t n,
 // is the caller's leave-self-out window; pass skip_lo > skip_hi to
 // disable).  Outputs the >= min_votes pairs (votes desc, key asc),
 // capped at cap.  Returns the emitted count.
+// center_stride > 1 probes every stride-th query landmark as a triangle
+// center (neighbors still come from the FULL cloud, so descriptors stay
+// exact) — the cost knob for dbs whose bucket density has grown with
+// the map (query cost ~ triangles x mean bucket size).
 int64_t tpuslam_constel_query(void* handle, const double* pts, int64_t n,
                               int64_t src_max, int64_t min_votes,
                               int64_t cap, int64_t skip_lo,
-                              int64_t skip_hi, int64_t* out_q,
+                              int64_t skip_hi, int64_t center_stride,
+                              int64_t* out_q,
                               int64_t* out_src, int64_t* out_lidx,
                               int64_t* out_votes) {
   auto* h = static_cast<ConstelDB*>(handle);
   if (n < 3 || h->db.empty()) return 0;
-  std::vector<int64_t> centers(n);
-  for (int64_t i = 0; i < n; ++i) centers[i] = i;
+  if (center_stride < 1) center_stride = 1;
+  std::vector<int64_t> centers;
+  centers.reserve(n / center_stride + 1);
+  for (int64_t i = 0; i < n; i += center_stride) centers.push_back(i);
+  const int64_t m = centers.size();
   const int64_t src_lim = src_max << 12;
   const int64_t lo_lim = skip_lo << 12;
   const int64_t hi_lim = (skip_hi + 1) << 12;
@@ -136,7 +144,7 @@ int64_t tpuslam_constel_query(void* handle, const double* pts, int64_t n,
   std::vector<int64_t> pairs;
   pairs.reserve(1 << 20);
   for_triangles(
-      pts, n, centers.data(), n, h->k, h->min_edge, h->max_edge,
+      pts, n, centers.data(), m, h->k, h->min_edge, h->max_edge,
       h->bin_size, [&](int64_t qc, int64_t key) {
         for (int dz = -1; dz <= 1; ++dz)
           for (int dy = -1; dy <= 1; ++dy)

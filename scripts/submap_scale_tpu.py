@@ -111,6 +111,9 @@ def main():
     ap.add_argument("--budget-window", action="store_true",
                     help="clamp the loop-probe vote window to the drift "
                          "budget since the last fix")
+    ap.add_argument("--constel-bin", type=float, default=0.25,
+                    help="constellation triangle-hash bin [m]; 0.125 "
+                         "at 1M scale (8x lower bucket density)")
     ap.add_argument("--no-pgo", action="store_true",
                     help="skip the assembly-stage constellation-PGO "
                          "unbend (r5 default on)")
@@ -194,7 +197,8 @@ def main():
                       handover_inflate=args.handover_inflate,
                       register_radius=reg_r,
                       vote_topk=args.vote_topk,
-                      budget_vote_window=args.budget_window)
+                      budget_vote_window=args.budget_window,
+                      constel_bin=args.constel_bin)
 
     # Per-chunk timing now comes from slam.chunk_wall (recorded inside
     # run() around the single dispatch+fetch per chunk) — the old
@@ -277,7 +281,9 @@ def main():
         from tpuslam.graph.pgo import pgo_unbend
 
         t_pgo = time.time()
-        anchors, n_edges = pgo_unbend(run.submaps, init, radius, log=log)
+        anchors, n_edges = pgo_unbend(run.submaps, init, radius,
+                                      constel_bin=args.constel_bin,
+                                      log=log)
         pgo_moved = float(np.linalg.norm(
             (anchors - init)[:, :2], axis=1).max())
         print(json.dumps({

@@ -52,6 +52,7 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
                              inlier_tol: float = 1.0,
                              max_edges_per_submap: int = 4,
                              match_radius: float = 2.0,
+                             constel_bin: float = 0.25,
                              db=None, log=None):
     """Anchor-independent relative-pose loop edges between submap pairs.
 
@@ -89,7 +90,7 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
         n_t = 1 + max((int(np.max(g)) for g in gids0 if len(g)),
                       default=0)
         seen = np.zeros(n_t, bool)
-        db = ConstellationDB()
+        db = ConstellationDB(bin_size=constel_bin)
         for i in range(S):
             if not len(loc[i]):
                 continue
@@ -98,11 +99,13 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
             seen[ids] = True
             db.add_submap(i, loc[i], index_mask=mask)
     edges = []
+    stride = min(6, 1 + db.n_entries // 1_500_000)
     for b in range(gap, S):
         if len(loc[b]) < min_inliers:
             continue
         q_idx, src, lidx, votes = db.query(
-            loc[b], src_max=b - gap + 1, max_candidates=600)
+            loc[b], src_max=b - gap + 1, max_candidates=600,
+            center_stride=stride)
         if not len(q_idx):
             continue
         # Strongest source submaps first.
@@ -284,7 +287,8 @@ def pgo_se2(anchors, odo_meas, loop_edges, *, iters: int = 25,
 
 
 def pgo_unbend(submaps, anchors, match_radius: float, *, gap: int = 3,
-               min_inliers: int = 12, log=None):
+               min_inliers: int = 12, constel_bin: float = 0.25,
+               log=None):
     """The full assembly-stage unbend: constellation loop edges + SE(2)
     PGO over the anchor chain.  Returns (anchors_opt, n_edges).
 
@@ -293,7 +297,7 @@ def pgo_unbend(submaps, anchors, match_radius: float, *, gap: int = 3,
     """
     edges = constellation_loop_edges(
         submaps, anchors, gap=gap, min_inliers=min_inliers,
-        match_radius=match_radius, log=log)
+        match_radius=match_radius, constel_bin=constel_bin, log=log)
     if log:
         log(f"pgo: {len(edges)} loop edges over {len(submaps)} anchors")
     if not edges:

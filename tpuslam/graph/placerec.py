@@ -167,7 +167,8 @@ class ConstellationDB:
         self.n_entries += len(keys)
 
     def query(self, pts_local, src_max: int, min_votes: int = 3,
-              max_candidates: int = 400, src_skip=None):
+              max_candidates: int = 400, src_skip=None,
+              center_stride: int = 1):
         """Correspondence candidates for a query cloud.
 
         Looks up every query triangle under its own bin AND the +-1
@@ -180,11 +181,17 @@ class ConstellationDB:
 
         `src_skip`: optional (lo, hi) inclusive range of source submaps
         to EXCLUDE (the leave-self-out window of the offline reconcile
-        pass; the online probe uses src_max alone).
+        pass; the online probe uses src_max alone).  `center_stride`:
+        probe every stride-th landmark as a triangle center (neighbors
+        still come from the full cloud) — the cost knob once the db's
+        bucket density has grown with the map (query cost ~ triangles x
+        mean bucket size; recall degrades gracefully because votes
+        accumulate per correspondence, not per triangle).
 
         Returns (q_idx (C,), src (C,), lidx (C,), votes (C,)).
         """
         lo, hi = src_skip if src_skip is not None else (1, 0)
+        stride = max(int(center_stride), 1)
         empty = (np.zeros(0, np.int64),) * 4
         pts = np.ascontiguousarray(pts_local, np.float64).reshape(-1, 2)
         if self._handle is not None:
@@ -197,12 +204,13 @@ class ConstellationDB:
                 self._handle,
                 pts.ctypes.data_as(ct.POINTER(ct.c_double)), len(pts),
                 int(src_max), int(min_votes), cap, int(lo), int(hi),
+                stride,
                 *[o.ctypes.data_as(ct.POINTER(ct.c_int64)) for o in out])
             return tuple(o[:n_out].copy() for o in out)
         if len(pts) < 3 or not self._db:
             return empty
-        keys, cof = _triangle_keys(pts, np.arange(len(pts)), self.k,
-                                   self.min_edge, self.max_edge,
+        keys, cof = _triangle_keys(pts, np.arange(0, len(pts), stride),
+                                   self.k, self.min_edge, self.max_edge,
                                    self.bin_size)
         if not len(keys):
             return empty

@@ -160,7 +160,8 @@ class SubmapSLAM:
                  budget_vote_window: bool = False,
                  place_rec: bool = True,
                  reloc_gap: int = 3,
-                 reloc_min_inliers: int = 18):
+                 reloc_min_inliers: int = 18,
+                 constel_bin: float = 0.25):
         import jax.numpy as jnp
 
         self.cfg = cfg
@@ -269,6 +270,11 @@ class SubmapSLAM:
         self.place_rec = place_rec
         self.reloc_gap = reloc_gap
         self.reloc_min_inliers = reloc_min_inliers
+        # Triangle-hash bin [m].  0.25 is the validated 20k/100k value;
+        # at 1M-landmark scale use 0.125 — bucket density (and so query
+        # cost AND alias collisions) falls ~8x while the +-1-bin
+        # tolerance still covers the ~0.15 m cross-pass position noise.
+        self.constel_bin = constel_bin
         self._constel = None
 
     def run(self, waypoints, landmarks, n_epochs: int, key) -> SubmapRun:
@@ -293,7 +299,7 @@ class SubmapSLAM:
         self.trace = []
         if self.place_rec and self.online_mode == "align":
             from tpuslam.graph.placerec import ConstellationDB
-            self._constel = ConstellationDB()
+            self._constel = ConstellationDB(bin_size=self.constel_bin)
         else:
             self._constel = None
         wp = jnp.asarray(waypoints, dtype)
@@ -626,7 +632,37 @@ class SubmapSLAM:
         src_max = i - self.reloc_gap + 1
         if db is None or src_max <= 0 or len(g) < 12:
             return None
-        q_idx, src, lidx, votes = db.query(loc, src_max=src_max)
+        # Pre-check before the (db-sized) hash probe: if the cloud
+        # already registers tightly against the temporally-old segment
+        # at its CURRENT placement, a reloc could never pass the
+        # dominance test — skip.  This bounds probe cost to the
+        # closures that actually need relocalization (on a clean 20k
+        # run that is a few percent of them).
+        old = self._table_src <= i - self.reloc_gap
+        if old.sum() < self.reloc_min_inliers:
+            return None
+        pts_old = self._table[old]
+        sg = min(self.match_radius, 1.0)
+        pad = 2.0 * self.match_radius
+
+        def _hits(cloud):
+            lo, hi = cloud.min(0) - pad, cloud.max(0) + pad
+            sel = ((pts_old[:, 0] >= lo[0]) & (pts_old[:, 0] <= hi[0])
+                   & (pts_old[:, 1] >= lo[1]) & (pts_old[:, 1] <= hi[1]))
+            if sel.sum() == 0:
+                return 0
+            idx = SpatialIndex(pts_old[sel], cell_size=max(sg, 1.0))
+            return int((idx.match(cloud, sg) >= 0).sum())
+
+        h0 = _hits(np.asarray(g, np.float64))
+        if h0 >= 0.5 * len(g):
+            return None
+        # Stride up the probe as the db grows (query cost ~ triangles x
+        # bucket density); votes accumulate per correspondence so recall
+        # degrades gracefully.
+        stride = min(6, 1 + db.n_entries // 1_500_000)
+        q_idx, src, lidx, votes = db.query(loc, src_max=src_max,
+                                           center_stride=stride)
         if len(q_idx) < self.reloc_min_inliers:
             return None
         from tpuslam.graph.placerec import ransac_se2
@@ -660,27 +696,11 @@ class SubmapSLAM:
         if moved < 0.5 * self.match_radius:
             return None  # already in place — stage-1 conformance owns it
         # Verification: tight-gate registration of the WHOLE cloud
-        # against the temporally-old table rows, corrected vs current.
-        old = self._table_src <= i - self.reloc_gap
-        if old.sum() < self.reloc_min_inliers:
-            return None
-        pts_old = self._table[old]
+        # against the temporally-old table rows, corrected vs current
+        # (h0 and the old-segment index machinery computed above).
         gg = np.asarray(g, np.float64) @ np.array(
             [[c, s_], [-s_, c]]) + t
-        sg = min(self.match_radius, 1.0)
-        pad = 2.0 * self.match_radius
-
-        def _hits(cloud):
-            lo, hi = cloud.min(0) - pad, cloud.max(0) + pad
-            sel = ((pts_old[:, 0] >= lo[0]) & (pts_old[:, 0] <= hi[0])
-                   & (pts_old[:, 1] >= lo[1]) & (pts_old[:, 1] <= hi[1]))
-            if sel.sum() == 0:
-                return 0
-            idx = SpatialIndex(pts_old[sel], cell_size=max(sg, 1.0))
-            return int((idx.match(cloud, sg) >= 0).sum())
-
         hs = _hits(gg)
-        h0 = _hits(np.asarray(g, np.float64))
         if hs < max(self.reloc_min_inliers, 1.5 * h0 + 8):
             return None
         return float(th), t, hs

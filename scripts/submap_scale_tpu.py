@@ -249,6 +249,8 @@ def main():
             float(np.mean(th[: max(1, len(th) // 10)])), 3),
         "ms_per_epoch_last_decile": round(
             float(np.mean(th[-max(1, len(th) // 10):])), 3),
+        "phase_wall_s": {k: round(v, 1) for k, v in
+                         getattr(slam, "phase_wall", {}).items()},
     }), flush=True)
     tr = [t for t in slam.trace if "corr_m" in t]
     refines = [t for t in slam.trace if t.get("refine")]

@@ -351,9 +351,15 @@ class SubmapSLAM:
         # of monkeypatching a blocking timer around the runner, which
         # itself added one sync per chunk.
         self.chunk_wall: list[tuple[int, float]] = []
+        # Host-side phase attribution (filled via _tick_phase): keys
+        # dispatch_fetch / midrun_align / closure / reloc_probe.  The
+        # scale script prints it — rising per-epoch wall needs a
+        # culprit, not a guess.
+        self.phase_wall: dict = {}
         import time as _time
         while done < n_epochs:
             t_iter = _time.time()
+            t_ph = _time.perf_counter()
             head = max(close_at - n_now, 1) + reserve
             n_chunk = tiers[-1]
             if add_rate is not None:
@@ -376,6 +382,7 @@ class SubmapSLAM:
             if self.online_mode == "align":
                 pull.append(st.ekf.x)
             vals = jax.device_get(pull)
+            t_ph = self._tick_phase("dispatch_fetch", t_ph)
             n_new, wp_id = int(vals[0]), int(vals[1])
             x_host = vals[5] if self.online_mode == "align" else None
             added = n_new - n_now
@@ -412,6 +419,7 @@ class SubmapSLAM:
                 anchor = self._midrun_align(st, anchor, len(submaps), done,
                                             submaps, n=n_new,
                                             x_host=x_host)
+                t_ph = self._tick_phase("midrun_align", t_ph)
 
             if n_new >= close_at and done < n_epochs:
                 st, anchor, n_now = self._close(st, anchor, submaps, dtype,
@@ -441,6 +449,7 @@ class SubmapSLAM:
                     if ok:
                         anchor = cand
                 anchors.append(anchor.copy())
+                t_ph = self._tick_phase("closure", t_ph)
             self.chunk_wall.append((n_chunk, _time.time() - t_iter))
             if self.verbose and len(self.chunk_wall) % 200 == 0:
                 ep = sum(c for c, _ in self.chunk_wall)
@@ -626,12 +635,24 @@ class SubmapSLAM:
         No drift budget anywhere: this is the candidate source for
         exactly the corrections the budget-windowed vote cannot reach
         (the measured 100k blocker, PERF.md 'joined pipeline')."""
-        from tpuslam.native import SpatialIndex
+        import time as _time
 
+        _t0 = _time.perf_counter()
         db = self._constel
         src_max = i - self.reloc_gap + 1
         if db is None or src_max <= 0 or len(g) < 12:
             return None
+        try:
+            return self._reloc_probe_inner(submaps, loc, g, i, done,
+                                           db, src_max)
+        finally:
+            if hasattr(self, "phase_wall"):
+                self.phase_wall["reloc_probe"] = \
+                    self.phase_wall.get("reloc_probe", 0.0) \
+                    + (_time.perf_counter() - _t0)
+
+    def _reloc_probe_inner(self, submaps, loc, g, i, done, db, src_max):
+        from tpuslam.native import SpatialIndex
         # Pre-check before the (db-sized) hash probe: if the cloud
         # already registers tightly against the temporally-old segment
         # at its CURRENT placement, a reloc could never pass the
@@ -923,6 +944,15 @@ class SubmapSLAM:
             src = np.concatenate(
                 [src, np.full(int(new.sum()), j, np.int64)])
         self._table, self._table_src = table, src
+
+    def _tick_phase(self, name, t0):
+        """Accumulate host-side phase wall [s] into self.phase_wall."""
+        import time as _t
+
+        now = _t.perf_counter()
+        self.phase_wall[name] = self.phase_wall.get(name, 0.0) \
+            + (now - t0)
+        return now
 
     def loop_budget(self, done) -> float:
         """Drift budget [m] accruable since the last absolute fix —

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--sensor-range", type=float, default=27.0)
     ap.add_argument("--row-spacing", type=float, default=35.0)
     ap.add_argument("--constel-bin", type=float, default=0.125)
+    ap.add_argument("--probe-stride", type=int, default=1,
+                    help="probe every k-th submap for loop edges (the "
+                         "edge-extraction wall is linear in probes; the "
+                         "unbend needs edges ALONG the chain, not one "
+                         "per submap)")
     ap.add_argument("--drift-xy", type=float, default=0.20,
                     help="per-hop translation noise sigma [m]")
     ap.add_argument("--drift-th", type=float, default=0.004,
@@ -146,7 +151,8 @@ def main():
     log = lambda m: print(f"# {m}", file=sys.stderr, flush=True)
     t0 = time.time()
     anc, n_edges = pgo_unbend(subs, bent, radius,
-                              constel_bin=args.constel_bin, log=log)
+                              constel_bin=args.constel_bin,
+                              probe_stride=args.probe_stride, log=log)
     t_pgo = time.time() - t0
     moved = np.linalg.norm((anc - bent)[:, :2], axis=1)
     res_vs_truth = np.linalg.norm((anc - truth_anc)[:, :2], axis=1)

@@ -53,6 +53,7 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
                              max_edges_per_submap: int = 4,
                              match_radius: float = 2.0,
                              constel_bin: float = 0.25,
+                             probe_stride: int = 1,
                              db=None, log=None):
     """Anchor-independent relative-pose loop edges between submap pairs.
 
@@ -62,6 +63,13 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
     — no anchors involved), and a fit with >= min_inliers becomes the
     edge (a, b, T_ab, n_inliers) with T_ab = pose of b's frame in a's
     frame.  Inlier counts are the edge weights for the PGO.
+
+    probe_stride probes every k-th submap as a query (sources still
+    index ALL first-seen landmarks, so any submap can be a TARGET): the
+    wall is the query loop, and the unbend only needs loop edges spread
+    along the chain, not one per submap — at 10^3-10^4-anchor scale a
+    stride-2/3 probe keeps hundreds-to-thousands of edges.  Default 1
+    (probe everything).
 
     Returns list of (a, b, meas (3,), n_in).
     """
@@ -101,6 +109,8 @@ def constellation_loop_edges(submaps, anchors=None, *, gap: int = 3,
     edges = []
     stride = min(6, 1 + db.n_entries // 1_500_000)
     for b in range(gap, S):
+        if probe_stride > 1 and b % probe_stride:
+            continue
         if len(loc[b]) < min_inliers:
             continue
         q_idx, src, lidx, votes = db.query(
@@ -288,7 +298,7 @@ def pgo_se2(anchors, odo_meas, loop_edges, *, iters: int = 25,
 
 def pgo_unbend(submaps, anchors, match_radius: float, *, gap: int = 3,
                min_inliers: int = 12, constel_bin: float = 0.25,
-               log=None):
+               probe_stride: int = 1, log=None):
     """The full assembly-stage unbend: constellation loop edges + SE(2)
     PGO over the anchor chain.  Returns (anchors_opt, n_edges).
 
@@ -297,7 +307,8 @@ def pgo_unbend(submaps, anchors, match_radius: float, *, gap: int = 3,
     """
     edges = constellation_loop_edges(
         submaps, anchors, gap=gap, min_inliers=min_inliers,
-        match_radius=match_radius, constel_bin=constel_bin, log=log)
+        match_radius=match_radius, constel_bin=constel_bin,
+        probe_stride=probe_stride, log=log)
     if log:
         log(f"pgo: {len(edges)} loop edges over {len(submaps)} anchors")
     if not edges:

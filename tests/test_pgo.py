@@ -62,6 +62,26 @@ def test_unbend_recovers_bent_chain():
     assert err.max() < 0.2
 
 
+def test_unbend_probe_stride():
+    """probe_stride=2 (probe every 2nd submap; the at-scale extraction
+    cost lever) must still unbend the bent chain — the PGO needs edges
+    ALONG the chain, not one per submap."""
+    subs, truth, rng = _scene(seed=4)
+    bent = [truth[0].copy()]
+    for i in range(len(subs) - 1):
+        rel = subs[i].rel_pose.copy()
+        rel[2] += 0.05
+        rel[:2] += rng.normal(0, 0.5, 2)
+        bent.append(se2_compose(bent[-1], rel))
+    bent = np.asarray(bent)
+    b0 = np.linalg.norm((bent - truth)[:, :2], axis=1)
+    assert b0.max() > 8.0
+    anc, n_edges = pgo_unbend(subs, bent, 2.0, gap=3, probe_stride=2)
+    assert n_edges >= 1
+    err = np.linalg.norm((anc - truth)[:, :2], axis=1)
+    assert err.max() < 0.5 * b0.max()
+
+
 def test_noop_on_clean_chain():
     """On an already-correct chain the loop edges agree with the anchors
     and the solve must not move anything meaningfully."""
